@@ -1,0 +1,911 @@
+"""Bulletproofs R1CS prover / verifier — TPU-phase-structured engine.
+
+Re-implements the capability of the pinned `bulletproofs` crate's r1cs module
+(yoloproofs feature; SURVEY.md §2.2) with a TPU-first architecture:
+
+  * circuit synthesis happens ONCE per circuit shape (models.r1cs artifact);
+  * all heavy math (vector commitments, constraint flattening, t-polynomial,
+    inner-product folds) runs as a handful of jitted, batch-axis device
+    programs over 13-bit-limb arrays (ops.limb / ops.msm);
+  * the Merlin transcript lives on the host; between device phases only
+    32-byte commitment strings / challenge scalars cross the boundary, and a
+    whole BATCH of independent proofs advances its transcripts in lockstep at
+    each boundary (SURVEY.md §7 'Fiat-Shamir host<->device ping-pong');
+  * the inner-product argument never folds generator vectors: per-original-
+    generator coefficient vectors (c_G, c_H) accumulate the challenge
+    products so every L/R commitment is a *fixed-base* MSM against the
+    device-resident window tables (ops.msm.pedersen_tables).
+
+Transcript schedule (frozen contract, SURVEY.md §8.3; golden vectors in
+tests/test_transcript_protocol.py):
+
+  Transcript::new(label)                      # caller, e.g. b"BlindBidProofGadget"
+  dom-sep "r1cs v1"                           # Prover::new / Verifier::new
+  append "V" per high-level commitment        # commit order = caller's
+  append_u64 "m" = #commitments               # prove()/verify()
+  append "A_I1" "A_O1" "S1"                   # phase-1 vector commitments
+  dom-sep "r1cs-1phase"                       # no deferred constraints
+  append "A_I2" "A_O2" "S2" (identity)        # unused phase 2
+  challenge "y", "z"
+  append "T_1" "T_3" "T_4" "T_5" "T_6"
+  challenge "u", "x"
+  append "t_x" "t_x_blinding" "e_blinding"
+  challenge "w"
+  dom-sep "ipp v1", append_u64 "n" = padded_n
+  per round: append "L", "R"; challenge "u"
+  verifier-only: challenge "r"
+
+The verification equation is derived in models/verifier notes below and
+checked end-to-end by tests/test_bulletproofs.py (honest proof accepted,
+any mutation rejected).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import edwards, limb, msm, ristretto
+from ..ops.limb import FL, NLIMBS
+from ..utils.curve_host import L, scalar_invert
+from ..utils.merlin import Transcript
+from .proof_struct import R1CSProof
+from .r1cs import CircuitArtifact, VarKind
+from .transcript_protocol import (
+    IDENTITY_COMPRESSED,
+    ProofError,
+    append_point,
+    append_scalar,
+    challenge_scalar,
+    innerproduct_domain_sep,
+    r1cs_1phase_domain_sep,
+    r1cs_domain_sep,
+    validate_and_append_point,
+)
+
+GENS_CAPACITY_DEFAULT = 2048
+
+
+def _to_bytes32(limb_rows: np.ndarray) -> list[bytes]:
+    """[k, NLIMBS] canonical limbs -> list of 32-byte strings."""
+    b = limb.limbs_to_bytes_le(np.asarray(limb_rows))
+    return [bytes(row.tobytes()) for row in b.reshape(-1, 32)]
+
+
+def _scalar_limb(x: int) -> np.ndarray:
+    return limb.int_to_limbs(x % L)
+
+
+def _limb_row_to_int(row) -> int:
+    return limb.limbs_to_int(np.asarray(row)) % L
+
+
+# ---------------------------------------------------------------------------
+# Device phase programs (jitted; `cap` and artifact arrays are static)
+# ---------------------------------------------------------------------------
+
+
+def vector_powers(x: jnp.ndarray, count: int) -> jnp.ndarray:
+    """[B, NLIMBS] -> [B, count, NLIMBS] with powers x^1 .. x^count
+    (log-doubling: ~log2(count) full-width limb muls)."""
+    p = x[:, None, :]
+    while p.shape[1] < count:
+        width = p.shape[1]
+        last = p[:, width - 1 : width, :]
+        p = jnp.concatenate([p, limb.mul(FL, p, last)], axis=1)
+    return p[:, :count, :]
+
+
+def vector_powers_from_one(x: jnp.ndarray, count: int) -> jnp.ndarray:
+    """x^0 .. x^(count-1)."""
+    one = jnp.broadcast_to(
+        jnp.asarray(limb.int_to_limbs(1)), (x.shape[0], 1, NLIMBS)
+    )
+    if count == 1:
+        return one
+    return jnp.concatenate([one, vector_powers(x, count - 1)], axis=1)
+
+
+@dataclass(eq=False)  # identity hash -> usable as jit static arg
+class CompiledCircuit:
+    """Device-resident constraint structure for one circuit shape."""
+
+    artifact: CircuitArtifact
+    n_pad: int
+    n1: int
+    m: int
+    q: int
+    n_pub: int
+    # static COO arrays per var kind: (q_idx[E], var_idx[E], coeff_limbs[E, NL])
+    coo: dict
+
+    @staticmethod
+    def compile(artifact: CircuitArtifact) -> "CompiledCircuit":
+        coo = {}
+        for kind, (qs, idxs, coeffs) in artifact.entries.items():
+            if len(qs) == 0:
+                coo[kind] = None
+                continue
+            coeff_l = limb.ints_to_limbs_fast(coeffs)
+            coo[kind] = (
+                jnp.asarray(qs),
+                jnp.asarray(idxs),
+                jnp.asarray(coeff_l),
+            )
+        return CompiledCircuit(
+            artifact=artifact,
+            n_pad=artifact.padded_n(),
+            n1=artifact.n_gates,
+            m=artifact.n_committed,
+            q=artifact.n_constraints,
+            n_pub=artifact.n_public,
+            coo=coo,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def flatten_constraints(circuit: CompiledCircuit, z: jnp.ndarray,
+                        publics: jnp.ndarray):
+    """z [B, NLIMBS], publics [B, n_pub, NL] ->
+    (wL, wR, wO [B, n_pad, NL], wV [B, m, NL], wc [B, NL]) with the sign
+    conventions of models.r1cs.CircuitArtifact; the PUBLIC symbols' constant
+    contribution folds into wc: wc = wc_one + <wP, publics>."""
+    B = z.shape[0]
+    zq = vector_powers(z, circuit.q)  # z^1..z^Q
+
+    def gather_sum(kind, size):
+        entry = circuit.coo[kind]
+        out = jnp.zeros((B, size, NLIMBS), dtype=jnp.int32)
+        if entry is None:
+            return out
+        qs, idxs, coeffs = entry
+        terms = limb.mul(FL, zq[:, qs, :], coeffs)  # [B, E, NL]
+        out = out.at[:, idxs, :].add(terms)
+        return limb.normalize(FL, out)
+
+    wL = gather_sum(VarKind.MUL_LEFT, circuit.n_pad)
+    wR = gather_sum(VarKind.MUL_RIGHT, circuit.n_pad)
+    wO = gather_sum(VarKind.MUL_OUT, circuit.n_pad)
+    wV = limb.neg(FL, gather_sum(VarKind.COMMITTED, max(circuit.m, 1)))
+    wc = limb.neg(FL, gather_sum(VarKind.ONE, 1))[:, 0, :]
+    if circuit.n_pub:
+        wP = limb.neg(FL, gather_sum(VarKind.PUBLIC, circuit.n_pub))
+        wc = limb.add(FL, wc, _inner(wP, publics))
+    return wL, wR, wO, wV, wc
+
+
+def _inner(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched inner product over axis -2: [B, n, NL] x [B, n, NL] -> [B, NL]."""
+    return limb.add_many(FL, limb.mul(FL, a, b), axis=-2)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def phase_commit_vectors(cap: int, digits: jnp.ndarray) -> jnp.ndarray:
+    """Batched fixed-base MSMs against the Pedersen window tables.
+
+    digits: [..., 2cap+2, NLIMBS] canonical scalars in table layout
+    (G | H | B | B_blinding).  Returns compressed [..., NLIMBS].
+    """
+    table, _ = msm.pedersen_tables(cap)
+    out = msm.msm_prescaled(
+        jnp.broadcast_to(table, (*digits.shape[:-2], *table.shape)), digits
+    )
+    return ristretto.compress(out)
+
+
+@jax.jit
+def commit_pedersen_tiny(values: jnp.ndarray, blinds: jnp.ndarray) -> jnp.ndarray:
+    """values, blinds: [..., NLIMBS] -> compressed commitments v*B + b*B~.
+
+    Uses the 253-step double-and-add scan (cheap at small batch width; the
+    big vector commitments use phase_commit_vectors instead)."""
+    from ..utils.generators import PedersenGens
+
+    pc = PedersenGens.default()
+    base = edwards.from_host([pc.B, pc.B_blinding])
+    v_bits = edwards.scalar_limbs_to_bits(limb.canon(FL, values))
+    b_bits = edwards.scalar_limbs_to_bits(limb.canon(FL, blinds))
+    pt = edwards.add(
+        edwards.scalar_mul_bits(jnp.broadcast_to(base[0], (*values.shape[:-1], 4, NLIMBS)), v_bits),
+        edwards.scalar_mul_bits(jnp.broadcast_to(base[1], (*values.shape[:-1], 4, NLIMBS)), b_bits),
+    )
+    return ristretto.compress(pt)
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProverWitness:
+    """Per-batch witness arrays (host numpy limbs, canonical)."""
+
+    a_L: np.ndarray  # [B, n_pad, NLIMBS]
+    a_R: np.ndarray
+    a_O: np.ndarray
+    v: np.ndarray  # [B, m, NLIMBS]
+    v_blinding: np.ndarray  # [B, m, NLIMBS]
+    publics: np.ndarray  # [B, n_pub, NLIMBS]
+
+
+def _sample_scalar_limbs(rng: np.random.Generator, shape) -> np.ndarray:
+    """Uniform scalars in [0, 2^252) as canonical limbs (blinding factors;
+    the 2^-128 sampling bias vs mod-L uniform is negligible for blindings)."""
+    raw = np.frombuffer(
+        rng.bytes(int(np.prod(shape)) * 32), dtype=np.uint8
+    ).reshape(*shape, 32).copy()
+    raw[..., 31] &= 0x0F  # keep 252 bits
+    return limb.limbs_from_bytes_le(raw)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def phase_a(cap: int, n1: int, a_L, a_R, a_O, s_L, s_R, blinds):
+    """Vector commitments A_I1, A_O1, S1 for a batch.
+
+    a_*: [B, n_pad, NL]; s_*: [B, n_pad, NL] (zero beyond n1);
+    blinds: [B, 3, NL].  Returns compressed [B, 3, NL].
+    """
+    B, n_pad, _ = a_L.shape
+    zero = jnp.zeros((B, n_pad, NLIMBS), dtype=jnp.int32)
+    zero1 = jnp.zeros((B, 1, NLIMBS), dtype=jnp.int32)
+
+    def row(g, h, blind):
+        pad_g = jnp.concatenate(
+            [g, jnp.zeros((B, cap - n_pad, NLIMBS), dtype=jnp.int32)], axis=1
+        ) if cap > n_pad else g[:, :cap]
+        pad_h = jnp.concatenate(
+            [h, jnp.zeros((B, cap - n_pad, NLIMBS), dtype=jnp.int32)], axis=1
+        ) if cap > n_pad else h[:, :cap]
+        return jnp.concatenate(
+            [pad_g, pad_h, zero1, blind[:, None, :]], axis=1
+        )  # [B, 2cap+2, NL]
+
+    digits = jnp.stack(
+        [
+            row(a_L, a_R, blinds[:, 0]),
+            row(a_O, zero, blinds[:, 1]),
+            row(s_L, s_R, blinds[:, 2]),
+        ],
+        axis=1,
+    )  # [B, 3, 2cap+2, NL]
+    return phase_commit_vectors(cap, limb.canon(FL, digits))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def phase_t(circuit: CompiledCircuit, a_L, a_R, a_O, s_L, s_R, wL, wR, wO,
+            y_pows, y_inv_pows):
+    """Compute l/r polynomial coefficient vectors and t1..t6.
+
+    y_pows / y_inv_pows: [B, n_pad, NL] = y^0..y^(n-1) and inverses.
+    Returns (l1, l2, l3, r0, r1, r3, t[6]).
+    """
+    l1 = limb.add(FL, a_L, limb.mul(FL, y_inv_pows, wR))
+    l2 = a_O
+    l3 = s_L
+    r0 = limb.sub(FL, wO, y_pows)
+    r1 = limb.add(FL, limb.mul(FL, y_pows, a_R), wL)
+    r3 = limb.mul(FL, y_pows, s_R)
+    t1 = _inner(l1, r0)
+    t2 = limb.add(FL, _inner(l1, r1), _inner(l2, r0))
+    t3 = limb.add(FL, _inner(l3, r0), _inner(l2, r1))
+    t4 = limb.add(FL, _inner(l3, r1), _inner(l1, r3))
+    t5 = _inner(l2, r3)
+    t6 = _inner(l3, r3)
+    t = jnp.stack([t1, t2, t3, t4, t5, t6], axis=1)  # [B, 6, NL]
+    return l1, l2, l3, r0, r1, r3, t
+
+
+@jax.jit
+def phase_lr(l1, l2, l3, r0, r1, r3, x):
+    """Evaluate l(x), r(x): x [B, NL] -> l, r [B, n_pad, NL]."""
+    xe = x[:, None, :]
+    x2 = limb.sqr(FL, xe)
+    x3 = limb.mul(FL, x2, xe)
+    l = limb.add(
+        FL,
+        limb.mul(FL, l1, xe),
+        limb.add(FL, limb.mul(FL, l2, x2), limb.mul(FL, l3, x3)),
+    )
+    r = limb.add(
+        FL,
+        r0,
+        limb.add(FL, limb.mul(FL, r1, xe), limb.mul(FL, r3, x3)),
+    )
+    return l, r
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ipa_round(cap: int, a, b, c_G, c_H, w_limb, h):
+    """One IPA round's L/R commitments (h = half length, dynamic).
+
+    a, b, c_G, c_H: [B, cap, NL] (active prefix of a/b has length 2h).
+    Returns compressed L, R: [B, 2, NL] plus (c_L, c_R) inner products.
+    """
+    B = a.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    nprime = 2 * h
+    pos = jnp.remainder(idx, nprime)  # original k -> current position
+    in_lo = pos < h
+
+    # current-vector element feeding original gen k:
+    #   L, G side (hi positions p >= h): a_lo[p-h] = a[p-h]
+    #   L, H side (lo positions p < h):  b_hi[p]   = b[p+h]
+    #   R, G side (lo positions p < h):  a_hi[p]   = a[p+h]
+    #   R, H side (hi positions p >= h): b_lo[p-h] = b[p-h]
+    a_lo_at = jnp.take(a, jnp.clip(pos - h, 0, cap - 1), axis=1)
+    b_hi_at = jnp.take(b, jnp.clip(pos + h, 0, cap - 1), axis=1)
+    a_hi_at = jnp.take(a, jnp.clip(pos + h, 0, cap - 1), axis=1)
+    b_lo_at = jnp.take(b, jnp.clip(pos - h, 0, cap - 1), axis=1)
+
+    # L = <a_lo, G'_hi> + <b_hi, H'_lo> + w <a_lo, b_hi> B
+    gL = jnp.where((~in_lo)[None, :, None], limb.mul(FL, a_lo_at, c_G), 0)
+    hL = jnp.where(in_lo[None, :, None], limb.mul(FL, b_hi_at, c_H), 0)
+    # R = <a_hi, G'_lo> + <b_lo, H'_hi> + w <a_hi, b_lo> B
+    gR = jnp.where(in_lo[None, :, None], limb.mul(FL, a_hi_at, c_G), 0)
+    hR = jnp.where((~in_lo)[None, :, None], limb.mul(FL, b_lo_at, c_H), 0)
+
+    # inner products over the active halves
+    mask_lo = (jnp.arange(cap) < h)[None, :, None]
+    b_shift = jnp.take(b, jnp.clip(jnp.arange(cap) + h, 0, cap - 1), axis=1)
+    c_L = limb.add_many(FL, jnp.where(mask_lo, limb.mul(FL, a, b_shift), 0), axis=-2)
+    a_shift = jnp.take(a, jnp.clip(jnp.arange(cap) + h, 0, cap - 1), axis=1)
+    c_R = limb.add_many(FL, jnp.where(mask_lo, limb.mul(FL, a_shift, b), 0), axis=-2)
+
+    wB_L = limb.mul(FL, w_limb, c_L)[:, None, :]
+    wB_R = limb.mul(FL, w_limb, c_R)[:, None, :]
+    zero1 = jnp.zeros((B, 1, NLIMBS), dtype=jnp.int32)
+
+    dig_L = jnp.concatenate([gL, hL, wB_L, zero1], axis=1)
+    dig_R = jnp.concatenate([gR, hR, wB_R, zero1], axis=1)
+    digits = limb.canon(FL, jnp.stack([dig_L, dig_R], axis=1))
+    return phase_commit_vectors(cap, digits), c_L, c_R
+
+
+@jax.jit
+def ipa_fold(a, b, c_G, c_H, u, u_inv, h):
+    """Fold after challenge u: new a/b of length h (stored in prefix),
+    update c_G/c_H coefficient vectors."""
+    B, cap, _ = a.shape
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    nprime = 2 * h
+    pos = jnp.remainder(idx, nprime)
+    in_lo = pos < h
+
+    a_hi = jnp.take(a, jnp.clip(idx + h, 0, cap - 1), axis=1)
+    b_hi = jnp.take(b, jnp.clip(idx + h, 0, cap - 1), axis=1)
+    ue = u[:, None, :]
+    uie = u_inv[:, None, :]
+    new_a = limb.add(FL, limb.mul(FL, a, ue), limb.mul(FL, a_hi, uie))
+    new_b = limb.add(FL, limb.mul(FL, b, uie), limb.mul(FL, b_hi, ue))
+    keep = (idx < h)[None, :, None]
+    a2 = jnp.where(keep, new_a, 0)
+    b2 = jnp.where(keep, new_b, 0)
+    cg_mult = jnp.where(in_lo[None, :, None], uie, ue)
+    ch_mult = jnp.where(in_lo[None, :, None], ue, uie)
+    return a2, b2, limb.mul(FL, c_G, cg_mult), limb.mul(FL, c_H, ch_mult)
+
+
+class Prover:
+    """Batched R1CS prover.  Usage mirrors the reference flow
+    (proof.rs:36-95): construct with transcripts (one per proof in the
+    batch), commit values, synthesize with the shared gadget via ProverCS,
+    then prove()."""
+
+    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT):
+        self.transcripts = transcripts
+        self.cap = cap
+        msm.pedersen_tables(cap)  # warm the table cache outside any jit trace
+        for t in transcripts:
+            r1cs_domain_sep(t)
+
+    def commit_batch(self, values: np.ndarray, blindings: np.ndarray) -> list[list[bytes]]:
+        """values, blindings: [B, m] python-int arrays (object or int) ->
+        per-proof compressed commitment lists; appends to transcripts."""
+        B, m = len(values), len(values[0])
+        v_l = limb.ints_to_limbs_fast(
+            [values[i][j] % L for i in range(B) for j in range(m)], (B, m)
+        )
+        g_l = limb.ints_to_limbs_fast(
+            [blindings[i][j] % L for i in range(B) for j in range(m)], (B, m)
+        )
+        comp = np.asarray(commit_pedersen_tiny(jnp.asarray(v_l), jnp.asarray(g_l)))
+        out = []
+        for i, t in enumerate(self.transcripts):
+            row = _to_bytes32(comp[i])
+            for c in row:
+                append_point(t, b"V", c)
+            out.append(row)
+        return out
+
+    def prove(
+        self,
+        circuit: CompiledCircuit,
+        witness: ProverWitness,
+        seed: bytes = b"\x00" * 32,
+    ) -> list[R1CSProof]:
+        cap, n_pad, n1 = self.cap, circuit.n_pad, circuit.n1
+        assert n_pad <= cap, "circuit exceeds generator capacity"
+        ts = self.transcripts
+        B = len(ts)
+
+        for t in ts:
+            t.append_u64(b"m", circuit.m)
+
+        # deterministic blinding RNG: transcript-bound (merlin TranscriptRng
+        # seeds a fast host PRNG; SURVEY.md §2.2 rand row)
+        rngs = []
+        for i, t in enumerate(ts):
+            builder = t.build_rng()
+            for j in range(circuit.m):
+                builder = builder.rekey_with_witness_bytes(
+                    b"v_blinding", bytes(limb.limbs_to_bytes_le(witness.v_blinding[i, j]))
+                )
+            rngs.append(
+                np.random.default_rng(
+                    list(builder.finalize(seed).fill_bytes(32))
+                )
+            )
+
+        i_blind = np.stack([_sample_scalar_limbs(r, (3,)) for r in rngs])  # [B,3,NL]
+        s_L = np.stack([_sample_scalar_limbs(r, (n_pad,)) for r in rngs])
+        s_R = np.stack([_sample_scalar_limbs(r, (n_pad,)) for r in rngs])
+        s_L[:, n1:] = 0
+        s_R[:, n1:] = 0
+
+        a_L = jnp.asarray(witness.a_L)
+        a_R = jnp.asarray(witness.a_R)
+        a_O = jnp.asarray(witness.a_O)
+        s_L = jnp.asarray(s_L)
+        s_R = jnp.asarray(s_R)
+
+        comp_a = np.asarray(phase_a(cap, n1, a_L, a_R, a_O, s_L, s_R, jnp.asarray(i_blind)))
+        ys, zs = [], []
+        A_bytes = []
+        for i, t in enumerate(ts):
+            ai, ao, s = _to_bytes32(comp_a[i])
+            append_point(t, b"A_I1", ai)
+            append_point(t, b"A_O1", ao)
+            append_point(t, b"S1", s)
+            r1cs_1phase_domain_sep(t)
+            append_point(t, b"A_I2", IDENTITY_COMPRESSED)
+            append_point(t, b"A_O2", IDENTITY_COMPRESSED)
+            append_point(t, b"S2", IDENTITY_COMPRESSED)
+            ys.append(challenge_scalar(t, b"y"))
+            zs.append(challenge_scalar(t, b"z"))
+            A_bytes.append((ai, ao, s))
+
+        y_l = jnp.asarray(limb.ints_to_limbs_fast(ys))
+        z_l = jnp.asarray(limb.ints_to_limbs_fast(zs))
+        y_inv_l = jnp.asarray(limb.ints_to_limbs_fast([scalar_invert(y) for y in ys]))
+
+        wL, wR, wO, wV, wc = flatten_constraints(
+            circuit, z_l, jnp.asarray(witness.publics)
+        )
+        y_pows = _ypows(y_l, n_pad)
+        y_inv_pows = _ypows(y_inv_l, n_pad)
+        l1, l2, l3, r0, r1_, r3, t_coeffs = phase_t(
+            circuit, a_L, a_R, a_O, s_L, s_R, wL, wR, wO, y_pows, y_inv_pows
+        )
+
+        t_host = np.asarray(limb.jcanon(FL, t_coeffs))  # [B, 6, NL]
+        wV_host = np.asarray(limb.jcanon(FL, wV))
+        t_blind = {}
+        T_bytes_all = []
+        # T commitments: t2's blinding is <wV, gamma>
+        t_vals, t_blinds = [], []
+        for i in range(B):
+            tb = {k: _sample_int(rngs[i]) for k in (1, 3, 4, 5, 6)}
+            gamma = [_limb_row_to_int(witness.v_blinding[i, j]) for j in range(circuit.m)]
+            wv = [_limb_row_to_int(wV_host[i, j]) for j in range(circuit.m)]
+            tb[2] = sum(w * g for w, g in zip(wv, gamma)) % L
+            t_blind[i] = tb
+            for k in (1, 3, 4, 5, 6):
+                t_vals.append(_limb_row_to_int(t_host[i, k - 1]))
+                t_blinds.append(tb[k])
+        T_comp = np.asarray(
+            commit_pedersen_tiny(
+                jnp.asarray(limb.ints_to_limbs_fast(t_vals, (B, 5))),
+                jnp.asarray(limb.ints_to_limbs_fast(t_blinds, (B, 5))),
+            )
+        )
+
+        us, xs, ws_ = [], [], []
+        txs, txbs, ebs = [], [], []
+        for i, t in enumerate(ts):
+            T_bytes = _to_bytes32(T_comp[i])
+            for label, tb in zip([b"T_1", b"T_3", b"T_4", b"T_5", b"T_6"], T_bytes):
+                append_point(t, label, tb)
+            T_bytes_all.append(T_bytes)
+            u = challenge_scalar(t, b"u")
+            x = challenge_scalar(t, b"x")
+            us.append(u)
+            xs.append(x)
+            t_int = [_limb_row_to_int(t_host[i, k]) for k in range(6)]
+            t_b = t_blind[i]
+            t_x = sum(t_int[k - 1] * pow(x, k, L) for k in range(1, 7)) % L
+            t_x_blinding = sum(t_b[k] * pow(x, k, L) for k in (1, 2, 3, 4, 5, 6)) % L
+            ib = [_limb_row_to_int(i_blind[i, j]) for j in range(3)]
+            e_blinding = (ib[0] * x + ib[1] * x * x + ib[2] * pow(x, 3, L)) % L
+            append_scalar(t, b"t_x", t_x)
+            append_scalar(t, b"t_x_blinding", t_x_blinding)
+            append_scalar(t, b"e_blinding", e_blinding)
+            ws_.append(challenge_scalar(t, b"w"))
+            txs.append(t_x)
+            txbs.append(t_x_blinding)
+            ebs.append(e_blinding)
+
+        x_l = jnp.asarray(limb.ints_to_limbs_fast(xs))
+        l_vec, r_vec = phase_lr(l1, l2, l3, r0, r1_, r3, x_l)
+
+        # ---- inner-product argument -------------------------------------
+        for i, t in enumerate(ts):
+            innerproduct_domain_sep(t, n_pad)
+
+        # G_factors: 1 for i < n1, u for i >= n1; c_H = y^{-i} * G_factor
+        u_col = jnp.asarray(limb.ints_to_limbs_fast(us))[:, None, :]
+        ones = jnp.broadcast_to(
+            jnp.asarray(limb.int_to_limbs(1)), (B, n_pad, NLIMBS)
+        )
+        pad_mask = (np.arange(n_pad) >= n1)[None, :, None]
+        c_G = jnp.where(pad_mask, jnp.broadcast_to(u_col, ones.shape), ones)
+        c_H = limb.jmul(FL, y_inv_pows, c_G)
+
+        # pad c_G/c_H up to cap (gens beyond n_pad never used -> coeff 0)
+        if cap > n_pad:
+            zpad = jnp.zeros((B, cap - n_pad, NLIMBS), dtype=jnp.int32)
+            c_G = jnp.concatenate([c_G, zpad], axis=1)
+            c_H = jnp.concatenate([c_H, zpad], axis=1)
+            l_vec = jnp.concatenate([l_vec, zpad], axis=1)
+            r_vec = jnp.concatenate([r_vec, zpad], axis=1)
+
+        a_vec, b_vec = l_vec, r_vec
+        w_l = jnp.asarray(limb.ints_to_limbs_fast(ws_))
+        L_rounds: list[list[bytes]] = [[] for _ in range(B)]
+        R_rounds: list[list[bytes]] = [[] for _ in range(B)]
+        h = n_pad // 2
+        while h >= 1:
+            (lr_comp), _, _ = ipa_round(
+                cap, a_vec, b_vec, c_G, c_H, w_l, jnp.int32(h)
+            )
+            lr_host = np.asarray(lr_comp)  # [B, 2, NL]
+            u_ints, ui_ints = [], []
+            for i, t in enumerate(ts):
+                lb, rb = _to_bytes32(lr_host[i])
+                append_point(t, b"L", lb)
+                append_point(t, b"R", rb)
+                L_rounds[i].append(lb)
+                R_rounds[i].append(rb)
+                uj = challenge_scalar(t, b"u")
+                u_ints.append(uj)
+                ui_ints.append(scalar_invert(uj))
+            u_l = jnp.asarray(limb.ints_to_limbs_fast(u_ints))
+            ui_l = jnp.asarray(limb.ints_to_limbs_fast(ui_ints))
+            a_vec, b_vec, c_G, c_H = ipa_fold(
+                a_vec, b_vec, c_G, c_H, u_l, ui_l, jnp.int32(h)
+            )
+            h //= 2
+
+        ab_host = np.asarray(
+            limb.jcanon(FL, jnp.stack([a_vec[:, 0], b_vec[:, 0]], axis=1))
+        )
+
+        proofs = []
+        for i in range(B):
+            ai, ao, s = A_bytes[i]
+            T = T_bytes_all[i]
+            proofs.append(
+                R1CSProof(
+                    A_I1=ai, A_O1=ao, S1=s,
+                    A_I2=IDENTITY_COMPRESSED, A_O2=IDENTITY_COMPRESSED,
+                    S2=IDENTITY_COMPRESSED,
+                    T_1=T[0], T_3=T[1], T_4=T[2], T_5=T[3], T_6=T[4],
+                    t_x=txs[i], t_x_blinding=txbs[i], e_blinding=ebs[i],
+                    ipp_L=L_rounds[i], ipp_R=R_rounds[i],
+                    ipp_a=_limb_row_to_int(ab_host[i, 0]),
+                    ipp_b=_limb_row_to_int(ab_host[i, 1]),
+                )
+            )
+        return proofs
+
+
+def _sample_int(rng: np.random.Generator) -> int:
+    return int.from_bytes(rng.bytes(32), "little") & ((1 << 252) - 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ypows(y: jnp.ndarray, n: int) -> jnp.ndarray:
+    return vector_powers_from_one(y, n)
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+#
+# Verification equation (derived in the module docstring schedule; full
+# derivation in docs/DESIGN.md): with challenges y, z, u, x, w, IPA rounds
+# u_j, batching challenge r, s_i = prod_j u_j^{+-1}, f_i = G_factors:
+#
+#   0 =  sum_i [a s_i f_i - x y^{-i} wR_i] G_i
+#      + sum_i [b s^{-1}_i y^{-i} f_i - y^{-i}(x wL_i + wO_i) + f_i] H_i
+#      + (w (ab - t_x) + r (t_x - x^2 (delta + wc))) B
+#      + (e_blinding + r t_x_blinding) B~
+#      - sum_j r x^2 wV_j V_j        <- note wV sign convention
+#      - sum_k r x^k T_k   (k in 1,3,4,5,6)
+#      - x A_I1 - x^2 A_O1 - x^3 S1  (- u x A_I2 - u x^2 A_O2 - u x^3 S2)
+#      - sum_j u_j^2 L_j - sum_j u_j^{-2} R_j
+#
+# with delta = <y^{-n} o wR, wL>.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def verify_device(circuit: CompiledCircuit, cap: int, z, y, y_inv, x, w, r,
+                  a, b, u_vec, u_inv_vec, u_phase, t_x, t_x_blinding,
+                  e_blinding, publics, dyn_points, dyn_scalars):
+    """Batched verification MSM. u_vec/u_inv_vec: [B, rounds, NL];
+    dyn_points [B, K, 4, NL], dyn_scalars [B, K, NL] (host-assembled V/T/A/L/R
+    scalars).  Returns [B] bool."""
+    B = z.shape[0]
+    n_pad = circuit.n_pad
+    rounds = u_vec.shape[1]
+    wL, wR, wO, wV, wc = flatten_constraints(circuit, z, publics)
+    y_inv_pows = _ypows(y_inv, n_pad)
+
+    # s vector from IPA challenges: bit j of index i (MSB-first rounds)
+    s = jnp.broadcast_to(
+        jnp.asarray(limb.int_to_limbs(1)), (B, n_pad, NLIMBS)
+    )
+    idx = np.arange(n_pad)
+    for j in range(rounds):
+        bit = ((idx >> (rounds - 1 - j)) & 1).astype(bool)[None, :, None]
+        mult = jnp.where(bit, u_vec[:, j][:, None, :], u_inv_vec[:, j][:, None, :])
+        s = limb.mul(FL, s, mult)
+    s_inv = s[:, ::-1, :]
+
+    n1 = circuit.n1
+    pad_mask = (np.arange(n_pad) >= n1)[None, :, None]
+    ones = jnp.broadcast_to(jnp.asarray(limb.int_to_limbs(1)), (B, n_pad, NLIMBS))
+    f = jnp.where(pad_mask, jnp.broadcast_to(u_phase[:, None, :], ones.shape), ones)
+
+    xe = x[:, None, :]
+    a_e = a[:, None, :]
+    b_e = b[:, None, :]
+    g_scalars = limb.sub(
+        FL,
+        limb.mul(FL, limb.mul(FL, a_e, s), f),
+        limb.mul(FL, limb.mul(FL, xe, y_inv_pows), wR),
+    )
+    h_scalars = limb.add(
+        FL,
+        limb.sub(
+            FL,
+            limb.mul(FL, limb.mul(FL, b_e, s_inv), limb.mul(FL, y_inv_pows, f)),
+            limb.mul(
+                FL,
+                y_inv_pows,
+                limb.add(FL, limb.mul(FL, xe, wL), wO),
+            ),
+        ),
+        f,
+    )
+
+    delta = _inner(limb.mul(FL, y_inv_pows, wR), wL)
+    x2 = limb.sqr(FL, x)
+    # Q = w*B, so the IPA's ab*Q term carries the w factor: w*(ab - t_x)
+    wab_t = limb.mul(FL, w, limb.sub(FL, limb.mul(FL, a, b), t_x))
+    b_scalar = limb.add(
+        FL,
+        wab_t,
+        limb.mul(FL, r, limb.sub(FL, t_x, limb.mul(FL, x2, limb.add(FL, delta, wc)))),
+    )
+    bblind_scalar = limb.add(FL, e_blinding, limb.mul(FL, r, t_x_blinding))
+
+    # fixed-base part
+    if cap > n_pad:
+        zpad = jnp.zeros((B, cap - n_pad, NLIMBS), dtype=jnp.int32)
+        g_scalars = jnp.concatenate([g_scalars, zpad], axis=1)
+        h_scalars = jnp.concatenate([h_scalars, zpad], axis=1)
+    digits = jnp.concatenate(
+        [g_scalars, h_scalars, b_scalar[:, None, :], bblind_scalar[:, None, :]],
+        axis=1,
+    )
+    table, _ = msm.pedersen_tables(cap)
+    fixed = msm.msm_prescaled(
+        jnp.broadcast_to(table, (B, *table.shape)), limb.canon(FL, jnp.asarray(digits))
+    )
+
+    dynamic = msm.msm(dyn_points, dyn_scalars)
+    total = edwards.add(fixed, dynamic)
+    # exact Edwards identity: X == 0 and Y == Z (mod p)
+    from ..ops.limb import FP
+
+    x_zero = limb.is_zero(FP, total[..., 0, :])
+    yz_eq = limb.eq_mod(FP, total[..., 1, :], total[..., 2, :])
+    return x_zero & yz_eq
+
+
+class Verifier:
+    """Batched R1CS verifier: replays the transcript schedule and evaluates
+    the whole statement as one fixed-base MSM + one small dynamic MSM
+    (mirrors the reference's single vartime mega-MSM, SURVEY.md §3.3)."""
+
+    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT):
+        self.transcripts = transcripts
+        self.cap = cap
+        msm.pedersen_tables(cap)  # warm the table cache outside any jit trace
+        for t in transcripts:
+            r1cs_domain_sep(t)
+
+    def commit_batch(self, commitments: list[list[bytes]]) -> None:
+        for t, row in zip(self.transcripts, commitments):
+            for c in row:
+                append_point(t, b"V", c)
+
+    def verify(
+        self,
+        circuit: CompiledCircuit,
+        proofs: list[R1CSProof],
+        commitments: list[list[bytes]],
+        publics: np.ndarray,
+    ) -> list[bool]:
+        """publics: [B, n_pub, NLIMBS] canonical public-input limbs."""
+        ts = self.transcripts
+        B = len(ts)
+        n_pad = circuit.n_pad
+        rounds = n_pad.bit_length() - 1
+
+        per = []
+        for i, (t, proof) in enumerate(zip(ts, proofs)):
+            if len(proof.ipp_L) != rounds:
+                raise ProofError("wrong number of IPA rounds")
+            t.append_u64(b"m", circuit.m)
+            validate_and_append_point(t, b"A_I1", proof.A_I1)
+            validate_and_append_point(t, b"A_O1", proof.A_O1)
+            validate_and_append_point(t, b"S1", proof.S1)
+            r1cs_1phase_domain_sep(t)
+            append_point(t, b"A_I2", proof.A_I2)
+            append_point(t, b"A_O2", proof.A_O2)
+            append_point(t, b"S2", proof.S2)
+            y = challenge_scalar(t, b"y")
+            z = challenge_scalar(t, b"z")
+            for label, tb in zip(
+                [b"T_1", b"T_3", b"T_4", b"T_5", b"T_6"],
+                [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6],
+            ):
+                append_point(t, label, tb)
+            u = challenge_scalar(t, b"u")
+            x = challenge_scalar(t, b"x")
+            append_scalar(t, b"t_x", proof.t_x)
+            append_scalar(t, b"t_x_blinding", proof.t_x_blinding)
+            append_scalar(t, b"e_blinding", proof.e_blinding)
+            w = challenge_scalar(t, b"w")
+            innerproduct_domain_sep(t, n_pad)
+            u_js = []
+            for lb, rb in zip(proof.ipp_L, proof.ipp_R):
+                append_point(t, b"L", lb)
+                append_point(t, b"R", rb)
+                u_js.append(challenge_scalar(t, b"u"))
+            r = challenge_scalar(t, b"r")
+            per.append(dict(y=y, z=z, u=u, x=x, w=w, u_js=u_js, r=r))
+
+        # ---- assemble device inputs -------------------------------------
+        def col(key):
+            return jnp.asarray(limb.ints_to_limbs_fast([p[key] for p in per]))
+
+        u_js_flat = [uj for p in per for uj in p["u_js"]]
+        u_inv_flat = _batch_invert(u_js_flat)
+        u_vec = jnp.asarray(limb.ints_to_limbs_fast(u_js_flat, (B, rounds)))
+        u_inv_vec = jnp.asarray(limb.ints_to_limbs_fast(u_inv_flat, (B, rounds)))
+        y_inv = jnp.asarray(
+            limb.ints_to_limbs_fast([scalar_invert(p["y"]) for p in per])
+        )
+
+        # host-side wV (tiny: only COMMITTED entries need z powers)
+        qs_c, idxs_c, coeffs_c = circuit.artifact.entries[VarKind.COMMITTED]
+
+        def host_wV(z: int) -> list[int]:
+            wv = [0] * circuit.m
+            for q, j, c in zip(qs_c, idxs_c, coeffs_c):
+                wv[j] = (wv[j] - pow(z, int(q) + 1, L) * c) % L
+            return wv
+
+        # dynamic points: V_j | T_k | A_I1 A_O1 S1 [A_I2 A_O2 S2] | L_j | R_j
+        dyn_pts_bytes, dyn_scalars = [], []
+        for i, (p, proof) in enumerate(zip(per, proofs)):
+            x, r, u = p["x"], p["r"], p["u"]
+            x2 = x * x % L
+            wv = host_wV(p["z"])
+            row_pts = list(commitments[i])
+            row_scalars = [(-r * x2 * wv[j]) % L for j in range(len(commitments[i]))]
+            for k, tb in zip((1, 3, 4, 5, 6),
+                             (proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6)):
+                row_pts.append(tb)
+                row_scalars.append((-r * pow(x, k, L)) % L)
+            row_pts += [proof.A_I1, proof.A_O1, proof.S1]
+            row_scalars += [(-x) % L, (-x2) % L, (-x2 * x) % L]
+            if not proof.missing_phase2():
+                row_pts += [proof.A_I2, proof.A_O2, proof.S2]
+                row_scalars += [
+                    (-u * x) % L, (-u * x2) % L, (-u * x2 * x) % L
+                ]
+            for uj, ujinv, lb, rb in zip(
+                p["u_js"],
+                u_inv_flat[i * rounds : (i + 1) * rounds],
+                proof.ipp_L,
+                proof.ipp_R,
+            ):
+                row_pts += [lb, rb]
+                row_scalars += [(-uj * uj) % L, (-ujinv * ujinv) % L]
+            dyn_pts_bytes.append(row_pts)
+            dyn_scalars.append(row_scalars)
+
+        K = len(dyn_pts_bytes[0])
+        if any(len(rp) != K for rp in dyn_pts_bytes):
+            raise ProofError("inconsistent proof shapes in batch")
+
+        # decompress all dynamic points on device
+        all_bytes = np.frombuffer(
+            b"".join(b"".join(row) for row in dyn_pts_bytes), dtype=np.uint8
+        ).reshape(B, K, 32)
+        # host canonicality check on encodings
+        for i in range(B):
+            for j in range(K):
+                v = int.from_bytes(all_bytes[i, j].tobytes(), "little")
+                if v >= (2**255 - 19) or (v & 1):
+                    if v != 0:
+                        raise ProofError("non-canonical point encoding")
+        s_limbs = jnp.asarray(limb.limbs_from_bytes_le(all_bytes))
+        dyn_points, valid = _decompress_j(s_limbs)
+        valid_np = np.asarray(valid)
+        # identity encodings decompress invalid in ristretto? identity (all
+        # zero) decompresses to the identity point validly; other invalids
+        # must be rejected.
+        for i in range(B):
+            for j in range(K):
+                enc = all_bytes[i, j].tobytes()
+                if not valid_np[i, j] and enc != IDENTITY_COMPRESSED:
+                    raise ProofError("invalid point encoding in proof")
+
+        dyn_scalars_l = jnp.asarray(
+            limb.ints_to_limbs_fast(
+                [s for row in dyn_scalars for s in row], (B, K)
+            )
+        )
+
+        ok = verify_device(
+            circuit,
+            self.cap,
+            col("z"), col("y"), y_inv, col("x"), col("w"), col("r"),
+            jnp.asarray(limb.ints_to_limbs_fast([pr.ipp_a for pr in proofs])),
+            jnp.asarray(limb.ints_to_limbs_fast([pr.ipp_b for pr in proofs])),
+            u_vec, u_inv_vec, col("u"),
+            jnp.asarray(limb.ints_to_limbs_fast([pr.t_x for pr in proofs])),
+            jnp.asarray(limb.ints_to_limbs_fast([pr.t_x_blinding for pr in proofs])),
+            jnp.asarray(limb.ints_to_limbs_fast([pr.e_blinding for pr in proofs])),
+            jnp.asarray(publics),
+            dyn_points,
+            dyn_scalars_l,
+        )
+        return list(np.asarray(ok))
+
+
+def _batch_invert(vals: list[int]) -> list[int]:
+    """Montgomery batch inversion mod L (one pow for the whole batch)."""
+    if not vals:
+        return []
+    prefix = [1]
+    for v in vals:
+        prefix.append(prefix[-1] * v % L)
+    inv_all = pow(prefix[-1], L - 2, L)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % L
+        inv_all = inv_all * vals[i] % L
+    return out
+
+
+_decompress_j = jax.jit(ristretto.decompress)

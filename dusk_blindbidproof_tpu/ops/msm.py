@@ -1,0 +1,233 @@
+"""Multi-scalar multiplication (MSM) — the framework's north-star kernel.
+
+TPU-native replacement for `curve25519-dalek`'s Straus/Pippenger MSM
+(SURVEY.md §2.2 row 3): the reference's prover spends ~99% of its time in
+MSMs over the Bulletproof generator vectors
+(/root/reference/src/blindbid/proof.rs:88 via the pinned bulletproofs crate).
+
+Design (scatter-free Pippenger, re-derived for XLA):
+
+  * Window size c = 13 = LIMB_BITS, so the canonical limb decomposition of a
+    scalar IS its window-digit decomposition: zero digit-extraction cost.
+  * Fixed bases are pre-scaled per window: table[i, w] = 2^(13 w) * G_i.
+    An MSM then is one flat weighted sum  sum_j digit_j * Q_j  over
+    m = n * 20 items with digits < D = 8192 — no doublings at all.
+  * Bucket accumulation without scatters:
+      - sort items by digit, descending;
+      - inclusive prefix scan of the sorted points (work-efficient
+        recursive pairing: 2m unified adds in 2 log2 m vector steps);
+      - suffix sums per bucket fall out of the scan: suf_k = scan value at
+        the last position with digit >= k, located via a digit histogram
+        (pure cumsum, no searchsorted);
+      - sum_b b * B_b = sum_{k>=1} suf_k: one log-tree reduction over D.
+    Total ~ 2m + D unified Edwards adds, all as full-width vector steps —
+    within ~2x of the sequential Pippenger add count, with none of its
+    data-dependent control flow.
+
+Batched: a leading batch axis runs independent MSMs (independent proofs) in
+lockstep — the throughput axis of SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import edwards, limb
+from .limb import FL, LIMB_BITS, NLIMBS
+
+WINDOWS = NLIMBS  # one window per scalar limb
+D_BUCKETS = 1 << LIMB_BITS
+
+
+def prescale_windows(points: jnp.ndarray) -> jnp.ndarray:
+    """[n, 4, NLIMBS] points -> [n, WINDOWS, 4, NLIMBS] with
+    out[i, w] = 2^(13 w) * P_i, computed by 13 batched doubles per window."""
+
+    def step(carry, _):
+        nxt = carry
+        for _ in range(LIMB_BITS):
+            nxt = edwards.double(nxt)
+        return nxt, carry
+
+    _, scaled = jax.lax.scan(step, points, None, length=WINDOWS)
+    # scaled: [WINDOWS, n, 4, NLIMBS] -> [n, WINDOWS, 4, NLIMBS]
+    return jnp.moveaxis(scaled, 0, 1)
+
+
+def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray) -> jnp.ndarray:
+    """x[..., j, :] -> x[..., j-k, :] along axis -3 (items), filling with
+    `fill` rows at the front."""
+    pad = jnp.broadcast_to(fill, (*x.shape[:-3], k, *x.shape[-2:]))
+    return jnp.concatenate([pad, x[..., :-k, :, :]], axis=-3)
+
+
+def _inclusive_scan_points(x: jnp.ndarray) -> jnp.ndarray:
+    """Work-efficient inclusive prefix scan of points along axis -3.
+
+    Recursive pairing: 2m adds total across 2 log2(m) full-width vector
+    steps.  m must be a power of two.
+    """
+    m = x.shape[-3]
+    if m == 1:
+        return x
+    assert m % 2 == 0
+    batch = x.shape[:-3]
+    pairs = x.reshape(*batch, m // 2, 2, 4, NLIMBS)
+    evens = pairs[..., 0, :, :]
+    odds = pairs[..., 1, :, :]
+    sums = edwards.add(evens, odds)  # m/2 adds
+    scanned = _inclusive_scan_points(sums)  # inclusive scan of pair sums
+    prev = _shift_down(scanned, 1, edwards.identity())
+    out_even = edwards.add(prev, evens)  # m/2 adds
+    out = jnp.stack([out_even, scanned], axis=-3)  # [..., m/2, 2, 4, NL]
+    return out.reshape(*batch, m, 4, NLIMBS)
+
+
+def _tree_sum_points(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum points along axis -3 (length must be a power of two)."""
+    m = x.shape[-3]
+    while m > 1:
+        assert m % 2 == 0
+        half = x.reshape(*x.shape[:-3], m // 2, 2, 4, NLIMBS)
+        x = edwards.add(half[..., 0, :, :], half[..., 1, :, :])
+        m //= 2
+    return x[..., 0, :, :]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+    """sum_j digits[j] * points[j] with digits in [0, D_BUCKETS).
+
+    points: [..., m, 4, NLIMBS], digits: [..., m] int32.
+    Returns [..., 4, NLIMBS].
+    """
+    batch = points.shape[:-3]
+    m = points.shape[-3]
+    mp = _next_pow2(m)
+    if mp != m:
+        pad_pts = jnp.broadcast_to(
+            edwards.identity(), (*batch, mp - m, 4, NLIMBS)
+        )
+        points = jnp.concatenate([points, pad_pts], axis=-3)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((*batch, mp - m), dtype=jnp.int32)], axis=-1
+        )
+        m = mp
+
+    # sort by digit descending
+    neg_d = -digits
+    order = jnp.argsort(neg_d, axis=-1)
+    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+    pts_sorted = jnp.take_along_axis(
+        points, order[..., None, None], axis=-3
+    )
+
+    # prefix scan: A[j] = sum_{i <= j} P_sorted[i]
+    scan = _inclusive_scan_points(pts_sorted)
+
+    # histogram of digits -> count_ge[k] = #items with digit >= k
+    hist = _batched_hist(d_sorted)  # [..., D_BUCKETS]
+    suffix_counts = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
+    pos = suffix_counts - 1  # last sorted index with digit >= k (desc order)
+
+    # suf_k = scan[pos_k] for k >= 1, identity when no item has digit >= k
+    pos_k = pos[..., 1:]
+    valid = pos_k >= 0
+    safe_pos = jnp.maximum(pos_k, 0)
+    suf = jnp.take_along_axis(scan, safe_pos[..., None, None], axis=-3)
+    suf = edwards.select(valid, suf, edwards.identity())
+
+    # pad to power of two and tree-reduce: total = sum_k suf_k
+    dpow = _next_pow2(D_BUCKETS - 1)
+    pad = jnp.broadcast_to(
+        edwards.identity(), (*batch, dpow - (D_BUCKETS - 1), 4, NLIMBS)
+    )
+    suf = jnp.concatenate([suf, pad], axis=-3)
+    return _tree_sum_points(suf)
+
+
+def _batched_hist(d_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Histogram over the last axis for arbitrary leading batch dims."""
+    flat = d_sorted.reshape(-1, d_sorted.shape[-1])
+
+    def one(row):
+        return jnp.zeros((D_BUCKETS,), dtype=jnp.int32).at[row].add(1)
+
+    hist = jax.vmap(one)(flat)
+    return hist.reshape(*d_sorted.shape[:-1], D_BUCKETS)
+
+
+def msm(points: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
+    """General MSM: sum_i scalars[i] * points[i].
+
+    points: [..., n, 4, NLIMBS]; scalars: [..., n, NLIMBS] working form.
+    Pre-scales windows on the fly (13*(WINDOWS-1) batched doubles), then runs
+    the flat bucket accumulation over m = n * WINDOWS items.
+    """
+    digits = limb.canon(FL, scalars)  # [..., n, NLIMBS]; limbs ARE digits
+    prescaled = prescale_windows_batched(points)  # [..., n, W, 4, NL]
+    return msm_prescaled(prescaled, digits)
+
+
+def prescale_windows_batched(points: jnp.ndarray) -> jnp.ndarray:
+    batch = points.shape[:-3]
+    flat = points.reshape(-1, 4, NLIMBS)
+    table = prescale_windows(flat)
+    return table.reshape(*batch, points.shape[-3], WINDOWS, 4, NLIMBS)
+
+
+def msm_prescaled(table: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+    """MSM against a pre-scaled window table.
+
+    table: [..., n, WINDOWS, 4, NLIMBS] (fixed bases: built once, device
+    resident); digits: [..., n, WINDOWS] canonical scalar limbs.
+    """
+    batch = table.shape[:-4]
+    n = table.shape[-4]
+    flat_pts = table.reshape(*batch, n * WINDOWS, 4, NLIMBS)
+    flat_digits = digits.reshape(*batch, n * WINDOWS).astype(jnp.int32)
+    return bucket_msm(flat_pts, flat_digits)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base generator tables (built on device once per capacity, cached)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def pedersen_tables(gens_capacity: int):
+    """Device-resident pre-scaled tables for (G_vec ++ H_vec ++ B ++ B_blinding).
+
+    Returns (table, layout) where table is [n_total, WINDOWS, 4, NLIMBS] and
+    layout maps names to index ranges: G: [0, cap), H: [cap, 2cap),
+    B: 2cap, B_blinding: 2cap+1.
+    """
+    from ..utils.generators import PedersenGens, cached_bp_gens
+
+    # Must never run inside a jit trace: the lru_cache would capture a tracer
+    # (callers warm this cache from host code, e.g. Prover/Verifier __init__).
+    from jax._src import core as _core
+
+    assert _core.trace_state_clean(), (
+        "pedersen_tables(cap=%d) first called inside a jit trace; warm the "
+        "cache from host code first" % gens_capacity
+    )
+    bp = cached_bp_gens(gens_capacity)
+    pc = PedersenGens.default()
+    pts = bp.G_vec[0] + bp.H_vec[0] + [pc.B, pc.B_blinding]
+    dev_pts = edwards.from_host(pts)
+    table = np.asarray(jax.jit(prescale_windows)(dev_pts))
+    layout = {
+        "G": (0, gens_capacity),
+        "H": (gens_capacity, 2 * gens_capacity),
+        "B": 2 * gens_capacity,
+        "B_blinding": 2 * gens_capacity + 1,
+    }
+    return table, layout

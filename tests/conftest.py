@@ -2,13 +2,29 @@
 
 Multi-chip TPU hardware is not available in CI; sharding tests run against
 XLA's host-platform device emulation instead (SURVEY.md §4 item (f)).
+
+The environment pre-sets JAX_PLATFORMS=axon and a sitecustomize hook
+initializes the tunneled-TPU PJRT plugin at interpreter start — before any
+conftest code runs — so overriding the env var here is NOT enough: the
+platform must be forced through jax.config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# The crypto graphs are large (an MSM traces to ~10^5 XLA ops); first
+# compiles take minutes.  Persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

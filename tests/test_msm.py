@@ -1,0 +1,89 @@
+"""MSM kernel vs host ground truth (SURVEY.md §7 step 4 gate)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dusk_blindbidproof_tpu.ops import edwards, limb, msm
+from dusk_blindbidproof_tpu.utils import curve_host as host
+
+B = host.ED25519_BASEPOINT
+rng = random.Random(99)
+
+
+def host_msm(points, scalars):
+    acc = host.EdwardsPoint.identity()
+    for p, s in zip(points, scalars):
+        acc = acc + p.scalar_mul(s)
+    return acc
+
+
+_msm_j = jax.jit(msm.msm)
+_eq_j = jax.jit(edwards.eq_points)
+
+
+def test_msm_small_vs_host():
+    n = 8
+    pts_host = [B.scalar_mul(rng.randrange(1, host.L)) for _ in range(n)]
+    scalars = [rng.randrange(0, host.L) for _ in range(n)]
+    # adversarial values
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = host.L - 1
+
+    got = _msm_j(
+        edwards.from_host(pts_host), jnp.asarray(limb.ints_to_limbs(scalars))
+    )
+    want = edwards.from_host(host_msm(pts_host, scalars))
+    assert np.asarray(_eq_j(got, want)).all()
+
+
+def test_msm_batched():
+    n, batch = 4, 3
+    pts_host = [
+        [B.scalar_mul(rng.randrange(1, host.L)) for _ in range(n)]
+        for _ in range(batch)
+    ]
+    scalars = [[rng.randrange(0, host.L) for _ in range(n)] for _ in range(batch)]
+    pts = jnp.stack([edwards.from_host(row) for row in pts_host])
+    s = jnp.stack([jnp.asarray(limb.ints_to_limbs(row)) for row in scalars])
+    got = _msm_j(pts, s)
+    want = edwards.from_host(
+        [host_msm(p_row, s_row) for p_row, s_row in zip(pts_host, scalars)]
+    )
+    assert np.asarray(_eq_j(got, want)).all()
+
+
+def test_msm_all_zero_scalars_gives_identity():
+    n = 4
+    pts_host = [B.scalar_mul(i + 2) for i in range(n)]
+    got = _msm_j(
+        edwards.from_host(pts_host),
+        jnp.zeros((n, limb.NLIMBS), dtype=jnp.int32),
+    )
+    assert np.asarray(_eq_j(got, edwards.identity())).all()
+
+
+def test_prescale_windows():
+    pts_host = [B, B.scalar_mul(7)]
+    table = jax.jit(msm.prescale_windows)(edwards.from_host(pts_host))
+    assert table.shape == (2, msm.WINDOWS, 4, limb.NLIMBS)
+    for i, p in enumerate(pts_host):
+        for w in [0, 1, 5, 19]:
+            want = edwards.from_host(p.scalar_mul(2 ** (13 * w) % host.L))
+            assert np.asarray(_eq_j(table[i, w], want)).all()
+
+
+def test_msm_prescaled_matches_msm():
+    n = 4
+    pts_host = [B.scalar_mul(rng.randrange(1, host.L)) for _ in range(n)]
+    scalars = [rng.randrange(0, host.L) for _ in range(n)]
+    pts = edwards.from_host(pts_host)
+    s = jnp.asarray(limb.ints_to_limbs(scalars))
+
+    table = jax.jit(msm.prescale_windows)(pts)
+    got = jax.jit(msm.msm_prescaled)(table, limb.jcanon(limb.FL, s))
+    want = edwards.from_host(host_msm(pts_host, scalars))
+    assert np.asarray(_eq_j(got, want)).all()
