@@ -114,12 +114,26 @@ class Strobe128:
         self._overwrite(data)
 
     def clone(self) -> "Strobe128":
-        s = Strobe128.__new__(Strobe128)
+        s = type(self).__new__(type(self))
         s.state = bytearray(self.state)
         s.pos = self.pos
         s.pos_begin = self.pos_begin
         s.cur_flags = self.cur_flags
         return s
+
+
+PyStrobe128 = Strobe128
+
+# Prefer the native C++ duplex (native/strobe.cc) when it builds/loads; the
+# pure-Python class above remains the cross-checked fallback
+# (tests/test_transcript.py asserts byte-equal challenge streams).
+try:
+    from .native import NativeStrobe128, native_available
+
+    if native_available():
+        Strobe128 = NativeStrobe128
+except Exception:  # pragma: no cover - fallback path
+    pass
 
 
 def _u32_le(n: int) -> bytes:

@@ -63,3 +63,39 @@ def test_transcript_rng_deterministic_given_seed():
     assert r1.fill_bytes(64) == r2.fill_bytes(64)
     r3 = t.build_rng().rekey_with_witness_bytes(b"w", b"\x02" * 32).finalize(b"\x42" * 32)
     assert r1.fill_bytes(64) != r3.fill_bytes(64)
+
+
+def test_native_backend_matches_python():
+    """The C++ STROBE duplex (native/strobe.cc) must be byte-identical to the
+    pure-Python Strobe128 across every op merlin uses, including rate-boundary
+    crossings, clone, and the TranscriptRng key/prf path."""
+    from dusk_blindbidproof_tpu.utils.merlin import (
+        PyStrobe128,
+        Strobe128,
+        TranscriptRngBuilder,
+    )
+
+    if Strobe128 is PyStrobe128:
+        import pytest
+
+        pytest.skip("native backend unavailable")
+
+    def drive(cls):
+        t = Transcript.__new__(Transcript)
+        t.strobe = cls(Transcript.MERLIN_PROTOCOL_LABEL)
+        t.append_message(b"dom-sep", b"BlindBidProofGadget")
+        out = []
+        for i in range(40):
+            t.append_message(b"pt", bytes([i]) * (1 + 7 * i))  # cross rate
+            out.append(t.challenge_bytes(b"ch", 64))
+        c = t.clone()
+        out.append(c.challenge_bytes(b"post-clone", 33))
+        rng = (
+            TranscriptRngBuilder(t.strobe.clone())
+            .rekey_with_witness_bytes(b"w", b"\x07" * 32)
+            .finalize(b"\x01" * 32)
+        )
+        out.append(rng.fill_bytes(96))
+        return out
+
+    assert drive(PyStrobe128) == drive(Strobe128)
