@@ -145,7 +145,9 @@ def scalar_mul_bits(p: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     nbits = bits.shape[-1]
-    acc0 = identity(p.shape[:-2])
+    # p * 0 term: inherit p's varying manual axes under shard_map (a pure
+    # constant scan-carry init fails the carry-type check there)
+    acc0 = identity(p.shape[:-2]) + p * 0
     bits_t = jnp.moveaxis(bits, -1, 0)  # [nbits, ...]
 
     def step(carry, bit):

@@ -190,7 +190,11 @@ def _carry_exact(x: jnp.ndarray) -> jnp.ndarray:
     def step(carry, col):
         v = col + carry
         return v >> LIMB_BITS, v & LIMB_MASK
-    carry, lo = jax.lax.scan(step, jnp.zeros(x.shape[:-1], jnp.int32), xt)
+
+    # carry init derived from x (not a fresh constant) so it inherits x's
+    # varying manual axes under shard_map — a constant init fails scan's
+    # carry-type check inside sharded regions.
+    carry, lo = jax.lax.scan(step, x[..., 0] * 0, xt)
     out = jnp.moveaxis(lo, 0, -1)
     return jnp.concatenate([out, carry[..., None]], axis=-1)
 
@@ -320,9 +324,8 @@ def _cond_sub_modulus(ctx: ModContext, x: jnp.ndarray) -> jnp.ndarray:
         b = (d < 0).astype(jnp.int32)
         return b, d + (b << LIMB_BITS)
 
-    borrow, cols = jax.lax.scan(
-        step, jnp.zeros(x.shape[:-1], jnp.int32), diff
-    )
+    # init derived from x: see _carry_exact on shard_map varying axes
+    borrow, cols = jax.lax.scan(step, x[..., 0] * 0, diff)
     diff_prop = jnp.moveaxis(cols, 0, -1)
     return select(borrow == 0, diff_prop, x)
 

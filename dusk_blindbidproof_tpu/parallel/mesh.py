@@ -64,6 +64,10 @@ def sharded_msm(mesh: Mesh, points_arr: jnp.ndarray, scalars: jnp.ndarray):
         mesh=mesh,
         in_specs=(P("points"), P("points")),
         out_specs=P(),
+        # the all_gather + tree-add leaves the result mathematically
+        # replicated over `points`; the static vma checker cannot infer
+        # replication through the group-law reduction, so disable it
+        check_vma=False,
     )
     return shard(points_arr, scalars)
 
@@ -93,6 +97,9 @@ def sharded_bucket_step(mesh: Mesh, points_arr: jnp.ndarray,
     def local(pts, digs):
         partial = msm.bucket_msm(pts, digs)  # [b_loc, 4, NL]
         gathered = jax.lax.all_gather(partial, "points", axis=0)
+        # gathered: [n_dev, b_loc, 4, NL] — move the device axis to -3 so the
+        # group-law tree reduction runs over devices, not the local batch
+        gathered = jnp.moveaxis(gathered, 0, -3)  # [b_loc, n_dev, 4, NL]
         return msm._tree_sum_points(_pad_pow2(gathered))
 
     return jax.jit(
@@ -101,5 +108,6 @@ def sharded_bucket_step(mesh: Mesh, points_arr: jnp.ndarray,
             mesh=mesh,
             in_specs=(P("bids", "points"), P("bids", "points")),
             out_specs=P("bids"),
+            check_vma=False,  # replicated over `points` post-gather; see above
         )
     )(points_arr, digits)
