@@ -1,42 +1,64 @@
 """Batched modular bignum arithmetic for TPU: 13-bit limbs in int32 lanes.
 
-This is the TPU-native replacement for `curve25519-dalek`'s field/scalar
-backends (SURVEY.md §2.2 rows 1-2; the reference pins dalek 1.2.3 with
-5x51-bit u64 / AVX2 limbs, /root/reference/Cargo.toml:13).  A TPU has no
-64-bit-wide fast integer path, so the radix is re-chosen for the int32 VPU:
+TPU-native replacement for `curve25519-dalek`'s field/scalar backends
+(SURVEY.md §2.2 rows 1-2; the reference pins dalek 1.2.3 with 5x51-bit u64 /
+AVX2 limbs, /root/reference/Cargo.toml:13).  A TPU has no fast 64-bit integer
+path, so the radix is re-chosen for the int32 VPU:
 
-    element = sum_i limb[i] * 2^(13*i),   limb[i] in [0, 2^13],  20 limbs.
+    element = sum_i limb[i] * 2^(13*i),  limb[i] small nonneg,  21 limbs.
 
-Why 13 bits: schoolbook partial products are 26-bit and a full product column
-sums at most 20 of them (< 2^31) — every intermediate fits an int32 lane with
-*no* carry handling inside the inner loop.  Elements vectorize along leading
+Why 13 bits: schoolbook partial products are ~26-bit and a full product
+column sums 21 of them (< 2^31) — every intermediate fits an int32 lane with
+no carry handling inside the inner loop.  Elements vectorize along leading
 batch axes: one TPU vector register row holds 128 independent elements.
 
-Working form ("loose"): limbs <= 2^13, value < 2^261 — NOT fully reduced.
-All ops are closed over this form; canonical reduction happens only at byte
-boundaries (`canon`).  This mirrors dalek's lazy-reduction discipline,
-re-derived for this radix.
+v2 engine — trace-time bound tracking.  The round-1 engine normalized every
+op with ~12 carry passes plus two 21-step sequential `lax.scan`s; the scans
+made every field op latency-bound, blew up compile times, and broke under
+shard_map.  Here every intermediate carries static metadata: a per-limb
+magnitude bound vector and an exact value upper bound (python ints).  The
+reducer chooses, AT TRACE TIME, exactly the *parallel* carry passes and
+residue folds a call site needs, and every intermediate is machine-checked
+against int32 overflow while tracing.  No sequential scans anywhere; the only
+exact carry (`canon` path) is a log-depth carry-lookahead via
+`lax.associative_scan`.
+
+Working form ("std"): 21 limbs; limbs 0..19 <= 2^13, limb 20 (slack) <= 1;
+value < 2^261.  All public ops accept any nonneg array with limbs <= 2^13
+(strict byte decodes qualify) and return std.  Canonical reduction to [0, M)
+happens only at byte boundaries (`canon`).
 
 One engine serves both moduli:
-    * F_p, p = 2^255-19 (point coordinates)
-    * F_l, l = 2^252 + 27742317777372353535851937790883648493 (scalars)
+    * F_p, p = 2^255-19 (point coordinates) — residue folds are near-one-hot
+      multiply-adds (2^260 = 608 mod p), which the bound tracker exploits
+      automatically.
+    * F_l, l = 2^252 + 27742317777372353535851937790883648493 (scalars).
 
 Pure jnp over int32, Pallas-compatible.  Property tests in tests/test_limb.py
 check every op against Python-int ground truth including adversarial
-carry/fold edge cases.
+max-bound inputs.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 LIMB_BITS = 13
-NLIMBS = 20
+NLIMBS = 21
 LIMB_MASK = (1 << LIMB_BITS) - 1
 PROD_LIMBS = 2 * NLIMBS - 1  # limbs of a full product before reduction
+
+INT32_SAFE = (1 << 31) - 1
+# std working form: limbs 0..19 <= STD_LO, limb 20 <= STD_TOP, value < 2^261
+STD_LO = 1 << LIMB_BITS
+STD_TOP = 1
+# max limb magnitude for the exact carry-lookahead (carries stay in {0,1})
+EXACT_MAX = 2 * LIMB_MASK
 
 
 def int_to_limbs(x: int, nlimbs: int = NLIMBS) -> np.ndarray:
@@ -66,17 +88,17 @@ def limbs_to_ints(arr) -> list[int]:
     ]
 
 
-def _redigit_at_least(value: int, minimums: list[int], ndigits: int) -> np.ndarray:
+def _redigit_at_least(value: int, minimums, ndigits: int) -> np.ndarray:
     """Decompose `value` into base-2^13 digits with digit[j] >= minimums[j].
 
-    Greedy from the bottom: after fixing digit j, the remaining mass is kept in
-    the higher digits.  Raises if the value has insufficient mass.
+    Greedy from the bottom: after fixing digit j, the remaining mass is kept
+    in the higher digits.  Raises if the value has insufficient mass.
     """
     digits = []
     rem = value
     for j in range(ndigits):
         d = rem & LIMB_MASK
-        need = minimums[j] if j < len(minimums) else 0
+        need = int(minimums[j]) if j < len(minimums) else 0
         while d < need:
             d += 1 << LIMB_BITS
         digits.append(d)
@@ -84,7 +106,11 @@ def _redigit_at_least(value: int, minimums: list[int], ndigits: int) -> np.ndarr
         assert rem >= 0, "insufficient mass for re-digiting"
     assert rem == 0
     assert sum(d << (LIMB_BITS * j) for j, d in enumerate(digits)) == value
+    assert max(digits) <= INT32_SAFE
     return np.array(digits, dtype=np.int32)
+
+
+_FOLD_KMAX = 2 * NLIMBS + 6  # widest width the reducer can ever see
 
 
 @dataclass(frozen=True, eq=False)  # identity hash: usable as a jit static arg
@@ -94,67 +120,79 @@ class ModContext:
     modulus: int
     name: str
     # fold_rows[k] = limbs of (2^(13*(NLIMBS+k)) mod modulus): the residue of
-    # the weight of "overflow limb" NLIMBS+k.   [NLIMBS, NLIMBS]
+    # the weight of "overflow limb" NLIMBS+k.   [_FOLD_KMAX, NLIMBS]
     fold_rows: np.ndarray = field(repr=False)
-    # Digits of a multiple of the modulus (~2^262), every digit[j] >= 2^13 for
-    # j < NLIMBS, for borrow-free negation.   [NLIMBS + 1]
-    sub_digits: np.ndarray = field(repr=False)
-    # Canonicalization: split at bit SB = floor-multiple covering the modulus;
-    # hi = value >> SB (< 2^(261-SB), a single small int32).
-    #   canon_neg False: value ≡ lo + hi * canon_residue   (p: residue 19)
-    #   canon_neg True:  value ≡ lo - hi * canon_residue, computed borrow-free
-    #                    as lo + (canon_adjust - hi * canon_residue)
-    #                    (l: residue = l - 2^252 ~ 2^133, adjust = l redigited)
-    split_bit: int
-    canon_neg: bool
-    canon_residue: np.ndarray = field(repr=False)  # [NLIMBS]
-    canon_adjust: np.ndarray = field(repr=False)  # [NLIMBS]
-    mod_limbs: np.ndarray = field(repr=False)  # [NLIMBS]
+    fold_ints: tuple = field(repr=False)  # their integer values
+    # Residue of the slack limb's weight, 2^260 mod modulus.   [NLIMBS]
+    top_row: np.ndarray = field(repr=False)
+    top_int: int = 0
+    # Canonicalization split: value = lo + hi * 2^split_bit with hi < hi_max.
+    #   canon_neg False: value ≡ lo + hi * R          (p: R = 19)
+    #   canon_neg True:  value ≡ lo - hi * D, computed borrow-free as
+    #                    lo + (A - hi * D) where A = k*M redigited so every
+    #                    digit dominates hi_max * D's digits (l: D = l - 2^252)
+    split_bit: int = 0
+    hi_max: int = 0
+    canon_neg: bool = False
+    canon_row: np.ndarray = field(repr=False, default=None)  # [NLIMBS] R or D
+    canon_adjust: np.ndarray = field(repr=False, default=None)  # [NLIMBS]
+    canon_adjust_int: int = 0
+    canon_vmax: int = 0  # value bound right after the split-fold
+    mod_limbs: np.ndarray = field(repr=False, default=None)  # [NLIMBS]
+    # Digits of (2^(13*(NLIMBS+1)) - modulus): x + comp carries into bit
+    # 13*(NLIMBS+1) iff x >= modulus.   [NLIMBS + 1]
+    cond_sub_comp: np.ndarray = field(repr=False, default=None)
+    cond_sub_int: int = 0
 
     @staticmethod
     def create(modulus: int, name: str, split_bit: int) -> "ModContext":
-        fold_rows = np.stack(
-            [
-                int_to_limbs(pow(2, LIMB_BITS * (NLIMBS + k), modulus))
-                for k in range(2 * NLIMBS)
-            ]
+        fold_ints = tuple(
+            pow(2, LIMB_BITS * (NLIMBS + k), modulus) for k in range(_FOLD_KMAX)
         )
-        # S = k*modulus in [2^261, 2^261 + modulus); digits >= 2^13 for j < 20.
-        k = -(-(1 << 261) // modulus)
-        sub_digits = _redigit_at_least(
-            k * modulus, [1 << LIMB_BITS] * NLIMBS, NLIMBS + 1
-        )
+        fold_rows = np.stack([int_to_limbs(r) for r in fold_ints])
+        top_int = pow(2, 13 * (NLIMBS - 1), modulus)  # 2^260 mod M
+        top_row = int_to_limbs(top_int)
 
+        # canonicalization tables: inputs are strict with value < 2^261
+        hi_max = 1 << (13 * NLIMBS - 13 + 1 - split_bit)  # value>>split < hi_max
         rpos = pow(2, split_bit, modulus)
         rneg = modulus - rpos
-        hi_max = 1 << (261 - split_bit)
         if rpos <= rneg:
             canon_neg = False
-            residue = rpos
+            row = int_to_limbs(rpos)
             adjust = np.zeros(NLIMBS, dtype=np.int32)
-            assert hi_max * rpos + (1 << split_bit) < modulus * 8, (
-                "positive canon residue too large"
-            )
+            adjust_int = 0
+            canon_vmax = (1 << split_bit) + (hi_max - 1) * rpos
         else:
             canon_neg = True
-            residue = rneg
-            # adjust = modulus, re-digited so each digit dominates the
-            # corresponding digit of hi*residue (hi < hi_max).
-            res_limbs = int_to_limbs(rneg)
-            mins = [int(v) * hi_max for v in res_limbs]
-            assert max(mins) < 2**30
-            adjust = _redigit_at_least(modulus, mins, NLIMBS)
-            assert hi_max * rneg < modulus
+            row = int_to_limbs(rneg)
+            mins = [int(v) * (hi_max - 1) for v in row]
+            assert max(mins) <= INT32_SAFE
+            need = sum(mn << (LIMB_BITS * j) for j, mn in enumerate(mins))
+            k = need // modulus + 1
+            adjust = _redigit_at_least(k * modulus, mins, NLIMBS)
+            adjust_int = k * modulus
+            canon_vmax = (1 << split_bit) + adjust_int
+
+        comp = (1 << (LIMB_BITS * (NLIMBS + 1))) - modulus
+        cond_sub_comp = int_to_limbs(comp, NLIMBS + 1)
         return ModContext(
             modulus=modulus,
             name=name,
             fold_rows=fold_rows,
-            sub_digits=sub_digits,
+            fold_ints=fold_ints,
+            top_row=top_row,
+            top_int=top_int,
             split_bit=split_bit,
+            hi_max=hi_max,
             canon_neg=canon_neg,
-            canon_residue=int_to_limbs(residue),
-            canon_adjust=np.asarray(adjust, dtype=np.int32),
+            canon_row=row,
+            canon_adjust=adjust,
+            canon_adjust_int=adjust_int,
+            canon_vmax=canon_vmax,
             mod_limbs=int_to_limbs(modulus),
+            cond_sub_comp=cond_sub_comp,
+            cond_sub_int=comp,
         )
 
 
@@ -166,136 +204,265 @@ FL = ModContext.create(L, "fl", split_bit=252)
 
 
 # ---------------------------------------------------------------------------
-# Core limb ops (all shapes [..., K] int32, K >= NLIMBS)
+# Bound-tracked limb vectors.
+#
+# An `LB` pairs an int32 limb array with static python-int metadata: a tuple
+# of per-limb magnitude upper bounds and an exact value upper bound.  All
+# structural decisions (how many carry passes, when to fold) are made from
+# this metadata AT TRACE TIME, so each call site compiles to exactly the
+# stages it needs and every intermediate is PROVEN < 2^31.
 # ---------------------------------------------------------------------------
 
 
-def _carry_pass(x: jnp.ndarray) -> jnp.ndarray:
-    """One vectorized carry pass; appends a top limb so no carry is dropped."""
-    c = x >> LIMB_BITS
-    lo = x & LIMB_MASK
-    c_shifted = jnp.pad(c, [(0, 0)] * (x.ndim - 1) + [(1, 0)])[..., :-1]
-    top = c[..., -1:]
-    return jnp.concatenate([lo + c_shifted, top], axis=-1)
+class LB(NamedTuple):
+    x: jnp.ndarray  # [..., w] int32, 0 <= limb[j] <= b[j]
+    b: tuple  # static per-limb bounds (python ints)
+    v: int  # static exact value upper bound (python int)
+
+    @property
+    def width(self) -> int:
+        return len(self.b)
 
 
-def _carry_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """Sequential ripple carry as one lax.scan over the limb axis: output
-    limbs strictly < 2^13 (+ top limb).  A single primitive keeps traced
-    graphs small (every field op uses this)."""
-    import jax
-
-    xt = jnp.moveaxis(x, -1, 0)  # [K, ...]
-
-    def step(carry, col):
-        v = col + carry
-        return v >> LIMB_BITS, v & LIMB_MASK
-
-    # carry init derived from x (not a fresh constant) so it inherits x's
-    # varying manual axes under shard_map — a constant init fails scan's
-    # carry-type check inside sharded regions.
-    carry, lo = jax.lax.scan(step, x[..., 0] * 0, xt)
-    out = jnp.moveaxis(lo, 0, -1)
-    return jnp.concatenate([out, carry[..., None]], axis=-1)
+def _implied(b) -> int:
+    return sum(int(bj) << (LIMB_BITS * j) for j, bj in enumerate(b))
 
 
-def _fold_once(ctx: ModContext, x: jnp.ndarray) -> jnp.ndarray:
-    """Fold limbs >= NLIMBS back via residue rows; input limbs <= 2^13.
+def wrap(x: jnp.ndarray, bound=None, v=None) -> LB:
+    """Wrap a raw array.  Default bound 2^13 per limb (covers both strict
+    decodes and std-form op outputs)."""
+    w = x.shape[-1]
+    if bound is None:
+        b = (1 << LIMB_BITS,) * w
+    elif np.isscalar(bound):
+        b = (int(bound),) * w
+    else:
+        b = tuple(int(t) for t in np.asarray(bound).reshape(-1))
+    assert len(b) == w, (len(b), w)
+    assert max(b) <= INT32_SAFE
+    if w < NLIMBS:
+        x = _pad_limbs(x, NLIMBS - w)
+        b = b + (0,) * (NLIMBS - w)
+    vi = _implied(b)
+    return LB(x, b, min(vi, v) if v is not None else vi)
 
-    result value = lo + sum_k hi_k * fold_rows[k]  (same residue class);
-    int32-safe: products <= 2^13 * (2^13-1), summed over <= 20 rows < 2^31.
+
+def _pad_limbs(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k)])
+
+
+def _refine(a: LB) -> LB:
+    """Tighten per-limb bounds by the value bound and drop zero-bound tops."""
+    v = min(a.v, _implied(a.b))
+    b = tuple(min(int(bj), v >> (LIMB_BITS * j)) for j, bj in enumerate(a.b))
+    x = a.x
+    while len(b) > NLIMBS and b[-1] == 0:
+        b = b[:-1]
+        x = x[..., :-1]
+    return LB(x, b, v)
+
+
+def lb_raw_add(a: LB, c: LB) -> LB:
+    """Plain limb-wise sum (no reduction), trace-time overflow check."""
+    wa, wc = a.width, c.width
+    if wa < wc:
+        a = LB(_pad_limbs(a.x, wc - wa), a.b + (0,) * (wc - wa), a.v)
+    elif wc < wa:
+        c = LB(_pad_limbs(c.x, wa - wc), c.b + (0,) * (wa - wc), c.v)
+    nb = tuple(x + y for x, y in zip(a.b, c.b))
+    assert max(nb) <= INT32_SAFE, "limb add would overflow int32"
+    return LB(a.x + c.x, nb, a.v + c.v)
+
+
+def lb_carry_pass(a: LB) -> LB:
+    """One parallel carry pass: out_j = (x_j & mask) + (x_{j-1} >> 13).
+
+    The top limb is split (appending a new limb) only when the value bound
+    allows a carry past the current width; otherwise it is kept whole so no
+    mass is lost.  Value-invariant.
     """
-    if x.shape[-1] <= NLIMBS:
-        return x
-    k = x.shape[-1] - NLIMBS
-    # int32 safety: lo (<=2^13) + k products of <= 2^13*(2^13-1) each
-    assert k <= 30, f"fold of {k} overflow limbs would overflow int32 columns"
-    lo = x[..., :NLIMBS]
-    hi = x[..., NLIMBS:]
-    rows = jnp.asarray(ctx.fold_rows[:k])  # [k, NLIMBS]
-    folded = jax_dot_int32(hi, rows)
-    return lo + folded
+    w = a.width
+    ndim = a.x.ndim
+    c = a.x >> LIMB_BITS
+    lo = a.x & LIMB_MASK
+    cb = [bj >> LIMB_BITS for bj in a.b]
+    lob = [min(bj, LIMB_MASK) for bj in a.b]
+    top_escape = min(cb[-1], a.v >> (LIMB_BITS * w))
+    c_in = jnp.pad(c, [(0, 0)] * (ndim - 1) + [(1, 0)])[..., :-1]
+    if top_escape > 0:
+        out = lo + c_in
+        nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w)]
+        out = jnp.concatenate([out, c[..., -1:]], axis=-1)
+        nb.append(cb[-1])
+    elif cb[-1] > 0:
+        # carry out of the top limb is impossible by value: keep it unsplit
+        out = jnp.concatenate(
+            [lo[..., :-1] + c_in[..., :-1], a.x[..., -1:] + c_in[..., -1:]],
+            axis=-1,
+        )
+        nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w - 1)]
+        nb.append(a.b[-1] + (cb[-2] if w > 1 else 0))
+    else:
+        out = lo + c_in
+        nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w)]
+    return LB(out, tuple(nb), a.v)
 
 
-def normalize(ctx: ModContext, x: jnp.ndarray) -> jnp.ndarray:
-    """Reduce nonnegative limbs (< 2^31 each, any length >= NLIMBS) to working
-    form: NLIMBS limbs <= 2^13, value < 2^261 and ≡ input (mod M)."""
-    x = x.astype(jnp.int32)
-    if x.shape[-1] < NLIMBS:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, NLIMBS - x.shape[-1])])
-    # Schedule derived from worst-case magnitude bounds: 4 passes bring
-    # arbitrary <2^31 limbs down to <= 2^13 each; fold collapses overflow
-    # limbs; after 3 rounds the value is < 2^260.2, and the exact-carry /
-    # single-limb-fold tail leaves 20 strict limbs with value < 2^260.
-    for _ in range(3):
-        for _ in range(4):
-            x = _carry_pass(x)
-        x = _fold_once(ctx, x)
-    x = _carry_exact(x)  # 21 limbs strict, top in {0,1}
-    x = _fold_once(ctx, x)  # 20 limbs <= 2^14, value < 2^260
-    x = _carry_exact(x)  # 21 limbs strict, top provably 0
-    return x[..., :NLIMBS]
+def _fold_contrib(ctx: ModContext, b) -> tuple:
+    """Per-limb bound after folding limbs >= NLIMBS (python ints)."""
+    k = len(b) - NLIMBS
+    out = list(b[:NLIMBS])
+    for i in range(k):
+        row = ctx.fold_rows[i]
+        for j in range(NLIMBS):
+            out[j] += int(b[NLIMBS + i]) * int(row[j])
+    return tuple(out)
+
+
+def lb_fold(ctx: ModContext, a: LB) -> LB:
+    """Fold limbs >= NLIMBS back via residue rows (value preserved mod M)."""
+    k = a.width - NLIMBS
+    assert 0 < k <= _FOLD_KMAX
+    nb = _fold_contrib(ctx, a.b)
+    assert max(nb) <= INT32_SAFE, f"fold overflow for {ctx.name}"
+    lo = a.x[..., :NLIMBS]
+    hi = a.x[..., NLIMBS:]
+    folded = jax.lax.dot_general(
+        hi,
+        jnp.asarray(ctx.fold_rows[:k]),
+        dimension_numbers=(((hi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    nv = _implied(a.b[:NLIMBS]) + sum(
+        min(int(a.b[NLIMBS + i]), a.v >> (LIMB_BITS * (NLIMBS + i)))
+        * ctx.fold_ints[i]
+        for i in range(k)
+    )
+    return LB(lo + folded, nb, min(nv, _implied(nb)))
+
+
+def lb_fold_top(ctx: ModContext, a: LB) -> LB:
+    """Fold the slack limb (index 20) via 2^260 mod M (value kept mod M)."""
+    assert a.width == NLIMBS
+    t = a.x[..., NLIMBS - 1 :]
+    bt = int(a.b[NLIMBS - 1])
+    nb = list(a.b[: NLIMBS - 1]) + [0]
+    for j in range(NLIMBS):
+        nb[j] += bt * int(ctx.top_row[j])
+    assert max(nb) <= INT32_SAFE, f"fold_top overflow for {ctx.name}"
+    base = jnp.concatenate([a.x[..., : NLIMBS - 1], t * 0], axis=-1)
+    out = base + t * jnp.asarray(ctx.top_row)
+    nv = _implied(a.b[: NLIMBS - 1]) + (
+        min(bt, a.v >> (LIMB_BITS * (NLIMBS - 1))) * ctx.top_int
+    )
+    return LB(out, tuple(nb), min(nv, _implied(nb)))
+
+
+def reduce_std(ctx: ModContext, a: LB) -> LB:
+    """Reduce to std form (21 limbs: <= 2^13, slack limb <= 1, value < 2^261),
+    preserving value mod M.  Structure chosen from static bounds; guaranteed
+    int32-safe; terminates (folds contract the value geometrically)."""
+    for _ in range(200):
+        a = _refine(a)
+        w = a.width
+        if (
+            w == NLIMBS
+            and max(a.b[: NLIMBS - 1]) <= STD_LO
+            and a.b[NLIMBS - 1] <= STD_TOP
+        ):
+            return a
+        if w > NLIMBS:
+            if max(_fold_contrib(ctx, a.b)) <= INT32_SAFE:
+                a = lb_fold(ctx, a)
+            else:
+                a = lb_carry_pass(a)
+            continue
+        # Fold the slack limb FIRST: it carries the 2^260-scale mass that
+        # keeps the value bound (and hence the refine cap on itself) large;
+        # carrying first can cycle via escape->fold(row 0) re-injection.
+        bt = a.b[NLIMBS - 1]
+        if (
+            bt > STD_TOP
+            and bt * int(ctx.top_row.max()) + max(a.b[: NLIMBS - 1])
+            <= INT32_SAFE
+        ):
+            a = lb_fold_top(ctx, a)
+        else:
+            a = lb_carry_pass(a)
+    raise AssertionError(f"reduce_std did not converge: bounds {a.b}")
+
+
+def lb_mul(ctx: ModContext, a: LB, c: LB) -> LB:
+    """Schoolbook product: 21 shifted broadcast multiply-adds (tree-summed),
+    then bound-driven reduction.  No matmul against a one-hot matrix — the
+    direct form is 441 MACs/element and fuses on the VPU."""
+    a = reduce_std(ctx, a)
+    c = reduce_std(ctx, c)
+    colb = np.convolve(
+        np.array(a.b, dtype=object), np.array(c.b, dtype=object)
+    )
+    assert max(int(t) for t in colb) <= INT32_SAFE
+    ndim_pad = max(a.x.ndim, c.x.ndim) - 1
+    terms = []
+    for i in range(NLIMBS):
+        t = a.x[..., i : i + 1] * c.x  # [..., NLIMBS] broadcast
+        terms.append(
+            jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(i, NLIMBS - 1 - i)])
+        )
+    # balanced tree sum keeps the graph log-depth
+    while len(terms) > 1:
+        nxt = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    del ndim_pad
+    z = LB(terms[0], tuple(int(t) for t in colb), a.v * c.v)
+    return reduce_std(ctx, z)
+
+
+def lb_sub(ctx: ModContext, a: LB, c: LB) -> LB:
+    """a - c mod M, borrow-free: a + (S - c) with S = k*M redigited so every
+    digit dominates c's bound."""
+    c = reduce_std(ctx, c)
+    need = _implied(c.b)
+    k = need // ctx.modulus + 1
+    digits = _redigit_at_least(k * ctx.modulus, c.b, NLIMBS)
+    dneg = LB(
+        jnp.asarray(digits) - c.x,
+        tuple(int(d) for d in digits),
+        k * ctx.modulus,
+    )
+    return lb_raw_add(a, dneg)
+
+
+# ---------------------------------------------------------------------------
+# Public working-form ops (raw arrays; outputs in std form)
+# ---------------------------------------------------------------------------
 
 
 def add(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return normalize(ctx, a + b)
+    return reduce_std(ctx, lb_raw_add(wrap(a), wrap(b))).x
 
 
 def add_many(ctx: ModContext, terms: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
-    """Sum <= 2^17 working-form elements along `axis` (limb-wise int32 sum
-    stays < 2^31), then normalize."""
+    """Sum up to ~260k std elements along `axis` in one int32 reduction."""
+    n = terms.shape[axis]
+    assert n * (1 << LIMB_BITS) <= INT32_SAFE, "too many terms for one int32 sum"
     s = jnp.sum(terms, axis=axis)
-    return normalize(ctx, s)
+    return reduce_std(ctx, wrap(s, bound=n * (1 << LIMB_BITS))).x
 
 
 def sub(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - b mod M via borrow-free digits: a + (S - b), S ≡ 0, digits of S
-    dominate any working-form limb."""
-    s = jnp.asarray(ctx.sub_digits)  # [NLIMBS+1]
-    neg = s[:NLIMBS] - b
-    neg = jnp.concatenate(
-        [neg, jnp.broadcast_to(s[NLIMBS:], (*neg.shape[:-1], 1))], axis=-1
-    )
-    a_ext = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)])
-    return normalize(ctx, a_ext + neg)
+    return reduce_std(ctx, lb_sub(ctx, wrap(a), wrap(b))).x
 
 
 def neg(ctx: ModContext, b: jnp.ndarray) -> jnp.ndarray:
     return sub(ctx, jnp.zeros_like(b), b)
 
 
-# static anti-diagonal gather matrix: column k of the product collects the
-# outer-product entries (i, j) with i + j = k.  The schoolbook multiply then
-# is ONE outer product + ONE integer matmul — on TPU the matmul maps onto
-# the MXU, on CPU it is a single fused GEMM; either way the traced graph is
-# 3 primitives instead of 20 scatter-adds.
-_CONV_M = np.zeros((NLIMBS * NLIMBS, PROD_LIMBS), dtype=np.int32)
-for _i in range(NLIMBS):
-    for _j in range(NLIMBS):
-        _CONV_M[_i * NLIMBS + _j, _i + _j] = 1
-
-
 def mul(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Schoolbook product via outer-product + anti-diagonal matmul; every
-    column sum < 2^31; then fold+carry."""
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, (*batch, NLIMBS))
-    b = jnp.broadcast_to(b, (*batch, NLIMBS))
-    outer = (a[..., :, None] * b[..., None, :]).reshape(
-        *batch, NLIMBS * NLIMBS
-    )
-    z = jax_dot_int32(outer, jnp.asarray(_CONV_M))
-    return normalize(ctx, z)
-
-
-def jax_dot_int32(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    import jax
-
-    return jax.lax.dot_general(
-        x, m,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    return lb_mul(ctx, wrap(a), wrap(b)).x
 
 
 def sqr(ctx: ModContext, a: jnp.ndarray) -> jnp.ndarray:
@@ -304,7 +471,15 @@ def sqr(ctx: ModContext, a: jnp.ndarray) -> jnp.ndarray:
 
 def mul_small(ctx: ModContext, a: jnp.ndarray, k: int) -> jnp.ndarray:
     assert 0 <= k <= LIMB_MASK
-    return normalize(ctx, a * jnp.int32(k))
+    aw = wrap(a)
+    return reduce_std(
+        ctx, LB(aw.x * jnp.int32(k), tuple(t * k for t in aw.b), aw.v * k)
+    ).x
+
+
+def normalize(ctx: ModContext, x: jnp.ndarray, bound: int = INT32_SAFE) -> jnp.ndarray:
+    """Reduce nonneg limbs (each <= `bound`, any width) to std form."""
+    return reduce_std(ctx, wrap(x, bound=bound)).x
 
 
 def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -312,50 +487,115 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[..., None], a, b)
 
 
-def _cond_sub_modulus(ctx: ModContext, x: jnp.ndarray) -> jnp.ndarray:
-    """One step of x >= M ? x - M : x on strictly-carried limbs (one scan)."""
-    import jax
-
-    m = jnp.asarray(ctx.mod_limbs)
-    diff = jnp.moveaxis(x - m, -1, 0)  # [NLIMBS, ...]
-
-    def step(borrow, col):
-        d = col - borrow
-        b = (d < 0).astype(jnp.int32)
-        return b, d + (b << LIMB_BITS)
-
-    # init derived from x: see _carry_exact on shard_map varying axes
-    borrow, cols = jax.lax.scan(step, x[..., 0] * 0, diff)
-    diff_prop = jnp.moveaxis(cols, 0, -1)
-    return select(borrow == 0, diff_prop, x)
+# ---------------------------------------------------------------------------
+# Exact strict form and canonical reduction
+# ---------------------------------------------------------------------------
 
 
-def canon(ctx: ModContext, x: jnp.ndarray) -> jnp.ndarray:
-    """Full canonical reduction of working form to [0, M), strict limbs."""
-    x = normalize(ctx, x)  # strict limbs, value < 2^260
-    # split: x = lo + hi * 2^SB with hi < 2^(260-SB) held in one int32
+def _exact_carry(a: LB) -> LB:
+    """Limbs (each <= 2*2^13-2) -> strict limbs < 2^13 via carry-lookahead
+    over (generate, propagate) pairs with lax.associative_scan; appends a top
+    limb only when both the limb bounds and the value bound allow a carry
+    out.  ~log2(width) parallel steps, no sequential scan."""
+    assert max(a.b) <= EXACT_MAX, a.b
+    g = (a.x >> LIMB_BITS).astype(jnp.int32)  # in {0, 1}
+    r = a.x & LIMB_MASK
+    p = (r == LIMB_MASK).astype(jnp.int32)
+
+    def combine(lo, hi):
+        gl, pl = lo
+        gh, ph = hi
+        return gh | (ph & gl), ph & pl
+
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    cin = jnp.pad(G, [(0, 0)] * (a.x.ndim - 1) + [(1, 0)])[..., :-1]
+    out = (r + cin) & LIMB_MASK
+    w = a.width
+    nb = [min(int(bj), LIMB_MASK) for bj in a.b]
+    can_escape = (a.b[-1] + 1) >> LIMB_BITS > 0 or a.b[-1] == LIMB_MASK
+    if can_escape and (a.v >> (LIMB_BITS * w)) > 0:
+        out = jnp.concatenate([out, G[..., -1:]], axis=-1)
+        nb.append(1)
+    return LB(out, tuple(nb), a.v)
+
+
+def _to_strict(ctx: ModContext, a: LB) -> LB:
+    """Any bounds -> width-NLIMBS strict limbs (< 2^13), value mod M kept."""
+    a = reduce_std(ctx, a)
+    a = _exact_carry(a)  # std bounds <= 2^13 <= EXACT_MAX; no escape (v<2^261)
+    assert a.width == NLIMBS
+    return a
+
+
+def _cond_sub_modulus(ctx: ModContext, a: LB) -> LB:
+    """One step of x >= M ? x - M : x on strict limbs (all parallel).
+
+    x + (2^(13*22) - M) has the 2^(13*22) bit set iff x >= M; the low limbs
+    of that sum are then exactly x - M."""
+    assert a.width == NLIMBS and max(a.b) <= LIMB_MASK
+    comp = ctx.cond_sub_comp  # [NLIMBS+1] digits, each <= LIMB_MASK
+    x22 = _pad_limbs(a.x, 1)
+    s = LB(
+        x22 + jnp.asarray(comp),
+        tuple(
+            int(bj) + int(comp[j]) for j, bj in enumerate(list(a.b) + [0])
+        ),
+        a.v + ctx.cond_sub_int,
+    )
+    s = _exact_carry(s)
+    if s.width > NLIMBS + 1:
+        ge = s.x[..., NLIMBS + 1]
+    else:
+        ge = jnp.zeros(s.x.shape[:-1], dtype=jnp.int32)  # can't be >= M
+    out = jnp.where((ge == 1)[..., None], s.x[..., :NLIMBS], a.x)
+    nv = max(ctx.modulus - 1, a.v - ctx.modulus)
+    return LB(out, (LIMB_MASK,) * NLIMBS, min(nv, a.v))
+
+
+def canon(ctx: ModContext, x: jnp.ndarray, bound: int = INT32_SAFE) -> jnp.ndarray:
+    """Full canonical reduction to [0, M): strict limbs, width NLIMBS."""
+    a = _to_strict(ctx, wrap(jnp.asarray(x), bound=min(int(bound), INT32_SAFE)))
+    # split: value = lo + hi * 2^split_bit, hi < hi_max (value < 2^261)
     sb_limb, sb_off = divmod(ctx.split_bit, LIMB_BITS)
-    hi = x[..., sb_limb] >> sb_off
-    for j in range(sb_limb + 1, NLIMBS):
-        hi = hi + (x[..., j] << (LIMB_BITS * (j - sb_limb) - sb_off))
+    assert sb_limb == NLIMBS - 2
+    hi = (a.x[..., sb_limb] >> sb_off) + (
+        a.x[..., NLIMBS - 1] << (LIMB_BITS - sb_off)
+    )
+    hi_b = (LIMB_MASK >> sb_off) + (
+        min(int(a.b[NLIMBS - 1]), a.v >> (LIMB_BITS * (NLIMBS - 1)))
+        << (LIMB_BITS - sb_off)
+    )
+    assert hi_b < ctx.hi_max, (hi_b, ctx.hi_max)
     lo = jnp.concatenate(
         [
-            x[..., :sb_limb],
-            x[..., sb_limb : sb_limb + 1] & ((1 << sb_off) - 1),
-            jnp.zeros((*x.shape[:-1], NLIMBS - sb_limb - 1), dtype=jnp.int32),
+            a.x[..., :sb_limb],
+            a.x[..., sb_limb : sb_limb + 1] & ((1 << sb_off) - 1),
+            jnp.zeros((*a.x.shape[:-1], NLIMBS - sb_limb - 1), dtype=jnp.int32),
         ],
         axis=-1,
     )
-    res = jnp.asarray(ctx.canon_residue)
-    term = hi[..., None] * res  # limbs < 2^(261-SB) * 2^13 <= 2^22
+    lo_b = (LIMB_MASK,) * sb_limb + ((1 << sb_off) - 1,) + (0,) * (
+        NLIMBS - sb_limb - 1
+    )
+    row = jnp.asarray(ctx.canon_row)
     if ctx.canon_neg:
-        y = lo + (jnp.asarray(ctx.canon_adjust) - term)
+        adj = ctx.canon_adjust.astype(np.int64)
+        term = jnp.asarray(ctx.canon_adjust) - hi[..., None] * row
+        tb = tuple(int(t) for t in adj)  # term in [0, adjust] per digit
+        tv = ctx.canon_adjust_int
     else:
-        y = lo + term
-    y = _carry_exact(y)[..., :NLIMBS]  # value < 2^SB + M < 2^13 limbs * 20
-    for _ in range(3):
+        term = hi[..., None] * row
+        tb = tuple(hi_b * int(t) for t in ctx.canon_row)
+        tv = hi_b * limbs_to_int(ctx.canon_row)
+    y = lb_raw_add(LB(lo, lo_b, _implied(lo_b)), LB(term, tb, tv))
+    y = LB(y.x, y.b, min(y.v, ctx.canon_vmax))
+    y = _to_strict(ctx, y)
+    for _ in range(8):
+        if y.v < ctx.modulus:
+            break
         y = _cond_sub_modulus(ctx, y)
-    return y
+    assert y.v < ctx.modulus, "canon cond-sub did not converge"
+    return y.x
 
 
 def eq_mod(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -377,18 +617,16 @@ def is_zero(ctx: ModContext, a: jnp.ndarray) -> jnp.ndarray:
 # call the raw functions inside their own traces.
 # ---------------------------------------------------------------------------
 
-import jax as _jax
-
-jadd = _jax.jit(add, static_argnums=0)
-jsub = _jax.jit(sub, static_argnums=0)
-jmul = _jax.jit(mul, static_argnums=0)
-jsqr = _jax.jit(sqr, static_argnums=0)
-jneg = _jax.jit(neg, static_argnums=0)
-jcanon = _jax.jit(canon, static_argnums=0)
-jnormalize = _jax.jit(normalize, static_argnums=0)
-jadd_many = _jax.jit(add_many, static_argnums=(0, 2))
-jeq_mod = _jax.jit(eq_mod, static_argnums=0)
-jis_zero = _jax.jit(is_zero, static_argnums=0)
+jadd = jax.jit(add, static_argnums=0)
+jsub = jax.jit(sub, static_argnums=0)
+jmul = jax.jit(mul, static_argnums=0)
+jsqr = jax.jit(sqr, static_argnums=0)
+jneg = jax.jit(neg, static_argnums=0)
+jcanon = jax.jit(canon, static_argnums=(0, 2))
+jnormalize = jax.jit(normalize, static_argnums=(0, 2))
+jadd_many = jax.jit(add_many, static_argnums=(0, 2))
+jeq_mod = jax.jit(eq_mod, static_argnums=0)
+jis_zero = jax.jit(is_zero, static_argnums=0)
 
 
 # ---------------------------------------------------------------------------
@@ -397,8 +635,7 @@ jis_zero = _jax.jit(is_zero, static_argnums=0)
 
 
 def limbs_from_bytes_le(data: np.ndarray) -> np.ndarray:
-    """[..., 32] uint8 -> [..., NLIMBS] int32 (values < 2^256; the top limb
-    carries bits 247..255)."""
+    """[..., 32] uint8 -> [..., NLIMBS] int32 (values < 2^256; strict limbs)."""
     data = np.asarray(data, dtype=np.uint8)
     bits = np.unpackbits(data, axis=-1, bitorder="little")  # [..., 256]
     pad = NLIMBS * LIMB_BITS - 256

@@ -39,7 +39,9 @@ import numpy as np
 from . import edwards, limb
 from .limb import FL, LIMB_BITS, NLIMBS
 
-WINDOWS = NLIMBS  # one window per scalar limb
+# One window per scalar limb that can be nonzero: canonical scalars are
+# < L < 2^253, so limb 20 (weight 2^260) is always zero — 20 windows suffice.
+WINDOWS = NLIMBS - 1
 D_BUCKETS = 1 << LIMB_BITS
 
 
@@ -68,14 +70,18 @@ def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray) -> jnp.ndarray:
 def _inclusive_scan_points(x: jnp.ndarray) -> jnp.ndarray:
     """Work-efficient inclusive prefix scan of points along axis -3.
 
-    Recursive pairing: 2m adds total across 2 log2(m) full-width vector
-    steps.  m must be a power of two.
+    Recursive pairing: ~2m adds total across 2 log2(m) full-width vector
+    steps.  Odd lengths are padded to even per level (at most one identity
+    row each), so no power-of-two padding of the item axis is ever needed.
     """
     m = x.shape[-3]
     if m == 1:
         return x
-    assert m % 2 == 0
     batch = x.shape[:-3]
+    if m % 2 != 0:
+        pad = jnp.broadcast_to(edwards.identity(), (*batch, 1, 4, NLIMBS))
+        x = jnp.concatenate([x, pad], axis=-3)
+        return _inclusive_scan_points(x)[..., :m, :, :]
     pairs = x.reshape(*batch, m // 2, 2, 4, NLIMBS)
     evens = pairs[..., 0, :, :]
     odds = pairs[..., 1, :, :]
@@ -88,18 +94,54 @@ def _inclusive_scan_points(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tree_sum_points(x: jnp.ndarray) -> jnp.ndarray:
-    """Sum points along axis -3 (length must be a power of two)."""
+    """Sum points along axis -3 (any length; odd levels peel the last row)."""
     m = x.shape[-3]
     while m > 1:
-        assert m % 2 == 0
-        half = x.reshape(*x.shape[:-3], m // 2, 2, 4, NLIMBS)
-        x = edwards.add(half[..., 0, :, :], half[..., 1, :, :])
-        m //= 2
+        if m % 2 != 0:
+            last = x[..., m - 1 :, :, :]
+            half = x[..., : m - 1, :, :].reshape(
+                *x.shape[:-3], (m - 1) // 2, 2, 4, NLIMBS
+            )
+            x = edwards.add(half[..., 0, :, :], half[..., 1, :, :])
+            x = jnp.concatenate([x, last], axis=-3)
+            m = (m - 1) // 2 + 1
+        else:
+            half = x.reshape(*x.shape[:-3], m // 2, 2, 4, NLIMBS)
+            x = edwards.add(half[..., 0, :, :], half[..., 1, :, :])
+            m //= 2
     return x[..., 0, :, :]
 
 
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
+
+
+# below this item count the bit-decomposition path wins (runtime crossover
+# 13*m vs 2*m + D_BUCKETS adds, and a ~100x smaller XLA graph)
+BIT_MSM_MAX_ITEMS = 768
+
+
+def _bit_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+    """Small-m weighted sum via digit bit-planes: 13 masked tree-sums
+    (vectorized over the bit axis) + a 12-step Horner combine.
+
+    ~13*m unified adds but only ~log2(m)+24 graph nodes — used for the
+    verifier's dynamic MSM and small test shapes where the bucket path's
+    8192-bucket suffix tree would dominate both runtime and compile time.
+    """
+    nbits = LIMB_BITS
+    bits = (digits[..., :, None] >> np.arange(nbits, dtype=np.int32)) & 1
+    bits = jnp.moveaxis(bits, -1, -2)  # [..., nbits, m]
+    pts = jnp.broadcast_to(
+        points[..., None, :, :, :],
+        (*points.shape[:-3], nbits, *points.shape[-3:]),
+    )
+    masked = edwards.select(bits != 0, pts, edwards.identity())
+    t = _tree_sum_points(masked)  # [..., nbits, 4, NLIMBS]
+    acc = t[..., nbits - 1, :, :]
+    for b in range(nbits - 2, -1, -1):
+        acc = edwards.add(edwards.double(acc), t[..., b, :, :])
+    return acc
 
 
 def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
@@ -108,19 +150,8 @@ def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
     points: [..., m, 4, NLIMBS], digits: [..., m] int32.
     Returns [..., 4, NLIMBS].
     """
-    batch = points.shape[:-3]
-    m = points.shape[-3]
-    mp = _next_pow2(m)
-    if mp != m:
-        pad_pts = jnp.broadcast_to(
-            edwards.identity(), (*batch, mp - m, 4, NLIMBS)
-        )
-        points = jnp.concatenate([points, pad_pts], axis=-3)
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((*batch, mp - m), dtype=jnp.int32)], axis=-1
-        )
-        m = mp
-
+    if points.shape[-3] <= BIT_MSM_MAX_ITEMS:
+        return _bit_msm(points, digits)
     # sort by digit descending
     neg_d = -digits
     order = jnp.argsort(neg_d, axis=-1)
@@ -144,12 +175,7 @@ def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
     suf = jnp.take_along_axis(scan, safe_pos[..., None, None], axis=-3)
     suf = edwards.select(valid, suf, edwards.identity())
 
-    # pad to power of two and tree-reduce: total = sum_k suf_k
-    dpow = _next_pow2(D_BUCKETS - 1)
-    pad = jnp.broadcast_to(
-        edwards.identity(), (*batch, dpow - (D_BUCKETS - 1), 4, NLIMBS)
-    )
-    suf = jnp.concatenate([suf, pad], axis=-3)
+    # tree-reduce: total = sum_{k>=1} suf_k
     return _tree_sum_points(suf)
 
 
@@ -191,6 +217,8 @@ def msm_prescaled(table: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
     """
     batch = table.shape[:-4]
     n = table.shape[-4]
+    if digits.shape[-1] != WINDOWS:  # canonical limbs: drop the zero slack
+        digits = digits[..., :WINDOWS]
     flat_pts = table.reshape(*batch, n * WINDOWS, 4, NLIMBS)
     flat_digits = digits.reshape(*batch, n * WINDOWS).astype(jnp.int32)
     return bucket_msm(flat_pts, flat_digits)

@@ -23,8 +23,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
-# The crypto graphs are large (an MSM traces to ~10^5 XLA ops); first
-# compiles take minutes.  Persist compiled executables across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: do NOT enable the persistent compilation cache here.  Serializing
+# the big CPU MSM executables segfaults the process inside
+# compilation_cache.put_executable_and_time (XLA CPU export bug, reproduced
+# round 1 and round 2); tests recompile instead.  The TPU bench path keeps
+# its own cache (axon executables serialize fine).
