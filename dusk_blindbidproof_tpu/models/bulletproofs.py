@@ -720,12 +720,19 @@ def verify_device(circuit: CompiledCircuit, cap: int, z, y, y_inv, x, w, r,
 
     dynamic = msm.msm(dyn_points, dyn_scalars)
     total = edwards.add(fixed, dynamic)
-    # exact Edwards identity: X == 0 and Y == Z (mod p)
+    # RISTRETTO identity, not Edwards identity: the MSM sums Ristretto
+    # *representatives*, so the total can land on any 4-torsion coset
+    # representative of the identity — e.g. (0, -1) — depending on which
+    # Edwards points the proof bytes decompressed to.  Per the quotient's
+    # equality (utils/curve_host.ristretto_eq against (0, 1)): identity
+    # iff X == 0 or Y == 0 (mod p).  Checking the Edwards identity here was
+    # the round-1..3 latent bug that made verification fail for ~half of
+    # honest proofs (whenever the torsion components summed to (0, -1)).
     from ..ops.limb import FP
 
     x_zero = limb.is_zero(FP, total[..., 0, :])
-    yz_eq = limb.eq_mod(FP, total[..., 1, :], total[..., 2, :])
-    return x_zero & yz_eq
+    y_zero = limb.is_zero(FP, total[..., 1, :])
+    return x_zero | y_zero
 
 
 class Verifier:

@@ -308,6 +308,33 @@ def lb_carry_pass(a: LB) -> LB:
     return LB(out, tuple(nb), a.v)
 
 
+def lb_carry_multi(a: LB) -> LB:
+    """Multi-split carry: decompose every limb into its base-2^13 digits and
+    re-add them shifted.  One pass takes any int32-safe bound down to
+    ~depth*2^13, replacing chains of single carry passes (each single pass
+    only advances carries one limb, so a 2^30 bound needed ~8 of them).
+    Value-invariant; width grows by depth-1 (folds contract it after)."""
+    maxb = max(int(bj) for bj in a.b)
+    depth = max(2, -(-maxb.bit_length() // LIMB_BITS))
+    w = a.width
+    ndim = a.x.ndim
+    out = None
+    nb = [0] * (w + depth - 1)
+    for d in range(depth):
+        p = a.x >> (LIMB_BITS * d)
+        if d < depth - 1:
+            p = p & LIMB_MASK
+        pad = jnp.pad(p, [(0, 0)] * (ndim - 1) + [(d, depth - 1 - d)])
+        out = pad if out is None else out + pad
+        for j in range(w):
+            bd = int(a.b[j]) >> (LIMB_BITS * d)
+            if d < depth - 1:
+                bd = min(bd, LIMB_MASK)
+            nb[j + d] += bd
+    assert max(nb) <= INT32_SAFE
+    return LB(out, tuple(nb), a.v)
+
+
 def _fold_contrib(ctx: ModContext, b) -> tuple:
     """Per-limb bound after folding limbs >= NLIMBS (python ints)."""
     k = len(b) - NLIMBS
@@ -327,12 +354,11 @@ def lb_fold(ctx: ModContext, a: LB) -> LB:
     assert max(nb) <= INT32_SAFE, f"fold overflow for {ctx.name}"
     lo = a.x[..., :NLIMBS]
     hi = a.x[..., NLIMBS:]
-    folded = jax.lax.dot_general(
-        hi,
-        jnp.asarray(ctx.fold_rows[:k]),
-        dimension_numbers=(((hi.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    # explicit int32 multiply-add (k is tiny) rather than a dot_general: an
+    # integer dot may be lowered through the f32 MXU on TPU, which silently
+    # truncates products past 24 bits — exactness is non-negotiable here
+    rows = jnp.asarray(ctx.fold_rows[:k])  # [k, NLIMBS]
+    folded = jnp.sum(hi[..., :, None] * rows, axis=-2, dtype=jnp.int32)
     nv = _implied(a.b[:NLIMBS]) + sum(
         min(int(a.b[NLIMBS + i]), a.v >> (LIMB_BITS * (NLIMBS + i)))
         * ctx.fold_ints[i]
@@ -375,7 +401,7 @@ def reduce_std(ctx: ModContext, a: LB) -> LB:
             if max(_fold_contrib(ctx, a.b)) <= INT32_SAFE:
                 a = lb_fold(ctx, a)
             else:
-                a = lb_carry_pass(a)
+                a = _carry_stage(a)
             continue
         # Fold the slack limb FIRST: it carries the 2^260-scale mass that
         # keeps the value bound (and hence the refine cap on itself) large;
@@ -388,36 +414,43 @@ def reduce_std(ctx: ModContext, a: LB) -> LB:
         ):
             a = lb_fold_top(ctx, a)
         else:
-            a = lb_carry_pass(a)
+            a = _carry_stage(a)
     raise AssertionError(f"reduce_std did not converge: bounds {a.b}")
 
 
+def _carry_stage(a: LB) -> LB:
+    """Pick the carry form from the static bound: multi-split when a single
+    pass would need >=2 successors, else the cheap single pass."""
+    if max(int(bj) for bj in a.b) >= (1 << (2 * LIMB_BITS)):
+        return lb_carry_multi(a)
+    return lb_carry_pass(a)
+
+
+# constant gather plan for the product column sums: column k of the full
+# product is sum_i outer[i, k-i]; one static gather + mask + reduce replaces
+# the 21 shifted pads + 20-add tree of the round-1..3 engine (~80 HLO ops ->
+# ~6; compile time of every phase program scales with per-mul op count)
+_MUL_J = np.arange(PROD_LIMBS)[None, :] - np.arange(NLIMBS)[:, None]
+_MUL_VALID = (0 <= _MUL_J) & (_MUL_J < NLIMBS)
+_MUL_JC = np.clip(_MUL_J, 0, NLIMBS - 1).astype(np.int32)
+
+
 def lb_mul(ctx: ModContext, a: LB, c: LB) -> LB:
-    """Schoolbook product: 21 shifted broadcast multiply-adds (tree-summed),
-    then bound-driven reduction.  No matmul against a one-hot matrix — the
-    direct form is 441 MACs/element and fuses on the VPU."""
+    """Schoolbook product (441 int32 MACs/element on the VPU): one broadcast
+    outer product, anti-diagonal column sums via a static gather, then
+    bound-driven reduction."""
     a = reduce_std(ctx, a)
     c = reduce_std(ctx, c)
     colb = np.convolve(
         np.array(a.b, dtype=object), np.array(c.b, dtype=object)
     )
     assert max(int(t) for t in colb) <= INT32_SAFE
-    ndim_pad = max(a.x.ndim, c.x.ndim) - 1
-    terms = []
-    for i in range(NLIMBS):
-        t = a.x[..., i : i + 1] * c.x  # [..., NLIMBS] broadcast
-        terms.append(
-            jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(i, NLIMBS - 1 - i)])
-        )
-    # balanced tree sum keeps the graph log-depth
-    while len(terms) > 1:
-        nxt = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-        terms = nxt
-    del ndim_pad
-    z = LB(terms[0], tuple(int(t) for t in colb), a.v * c.v)
+    outer = a.x[..., :, None] * c.x[..., None, :]  # [..., NLIMBS, NLIMBS]
+    idx = jnp.broadcast_to(jnp.asarray(_MUL_JC), outer.shape[:-1] + (PROD_LIMBS,))
+    g = jnp.take_along_axis(outer, idx, axis=-1)
+    masked = jnp.where(jnp.asarray(_MUL_VALID), g, 0)
+    cols = jnp.sum(masked, axis=-2, dtype=jnp.int32)  # [..., PROD_LIMBS]
+    z = LB(cols, tuple(int(t) for t in colb), a.v * c.v)
     return reduce_std(ctx, z)
 
 
