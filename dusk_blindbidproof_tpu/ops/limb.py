@@ -426,31 +426,33 @@ def _carry_stage(a: LB) -> LB:
     return lb_carry_pass(a)
 
 
-# constant gather plan for the product column sums: column k of the full
-# product is sum_i outer[i, k-i]; one static gather + mask + reduce replaces
-# the 21 shifted pads + 20-add tree of the round-1..3 engine (~80 HLO ops ->
-# ~6; compile time of every phase program scales with per-mul op count)
-_MUL_J = np.arange(PROD_LIMBS)[None, :] - np.arange(NLIMBS)[:, None]
-_MUL_VALID = (0 <= _MUL_J) & (_MUL_J < NLIMBS)
-_MUL_JC = np.clip(_MUL_J, 0, NLIMBS - 1).astype(np.int32)
-
-
 def lb_mul(ctx: ModContext, a: LB, c: LB) -> LB:
-    """Schoolbook product (441 int32 MACs/element on the VPU): one broadcast
-    outer product, anti-diagonal column sums via a static gather, then
-    bound-driven reduction."""
+    """Schoolbook product: 21 shifted broadcast multiply-adds (tree-summed),
+    then bound-driven reduction.
+
+    The shifts are static pads, deliberately: an anti-diagonal gather
+    (take_along_axis on the minor axis) is ~40x slower on TPU — minor-dim
+    gathers scalarize (measured 1.38 s vs 36 ms per 82k-row mul on v5e).
+    441 int32 MACs/element, all lane-parallel on the VPU."""
     a = reduce_std(ctx, a)
     c = reduce_std(ctx, c)
     colb = np.convolve(
         np.array(a.b, dtype=object), np.array(c.b, dtype=object)
     )
     assert max(int(t) for t in colb) <= INT32_SAFE
-    outer = a.x[..., :, None] * c.x[..., None, :]  # [..., NLIMBS, NLIMBS]
-    idx = jnp.broadcast_to(jnp.asarray(_MUL_JC), outer.shape[:-1] + (PROD_LIMBS,))
-    g = jnp.take_along_axis(outer, idx, axis=-1)
-    masked = jnp.where(jnp.asarray(_MUL_VALID), g, 0)
-    cols = jnp.sum(masked, axis=-2, dtype=jnp.int32)  # [..., PROD_LIMBS]
-    z = LB(cols, tuple(int(t) for t in colb), a.v * c.v)
+    terms = []
+    for i in range(NLIMBS):
+        t = a.x[..., i : i + 1] * c.x  # [..., NLIMBS] broadcast
+        terms.append(
+            jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(i, NLIMBS - 1 - i)])
+        )
+    # balanced tree sum keeps the graph log-depth
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    z = LB(terms[0], tuple(int(t) for t in colb), a.v * c.v)
     return reduce_std(ctx, z)
 
 

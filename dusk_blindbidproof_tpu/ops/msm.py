@@ -121,11 +121,18 @@ def _inclusive_scan_points(x: jnp.ndarray) -> jnp.ndarray:
         return acc, acc
 
     totals, within = jax.lax.scan(step, acc0, xs)
-    within = jnp.moveaxis(within, 0, -3)  # [..., C, R, 4, NL]
     offsets = _shift_down(
         _inclusive_scan_points(totals), 1, edwards.identity()
     )  # exclusive block prefix [..., C, 4, NL]
-    out = edwards.add(within, offsets[..., :, None, :, :])
+
+    # apply offsets through a second scan rather than one full-width add:
+    # peak temporaries stay at block width (the one-shot form's ~0.5 GB of
+    # gather/product buffers at 82k items crashed the axon TPU worker)
+    def apply(carry, wt):
+        return carry, edwards.add(wt, carry)
+
+    _, out = jax.lax.scan(apply, offsets, within)
+    out = jnp.moveaxis(out, 0, -3)  # [..., C, R, 4, NL]
     out = out.reshape(*out.shape[:-4], C * _BLOCK_R, 4, NLIMBS)
     return out[..., :m, :, :]
 

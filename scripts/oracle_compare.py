@@ -26,6 +26,12 @@ def main() -> int:
 
     if os.environ.get("ORACLE_CPU", "1") == "1":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # real-chip smoke run: persistent cache (remote compiles are minutes)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     print("jax devices:", jax.devices())
 
     from dusk_blindbidproof_tpu.models.bulletproofs import (
