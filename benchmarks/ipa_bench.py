@@ -29,7 +29,8 @@ def main() -> None:
     import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -66,7 +67,6 @@ def main() -> None:
             aR.append(x)
             x = x * x % L
             aO.append(x)
-        rng = np.random.default_rng(5)
 
         def one_round():
             ts = [Transcript(b"ipa-bench") for _ in range(B)]
@@ -103,7 +103,6 @@ def main() -> None:
         dt = time.perf_counter() - t0
         results.append({"n": n_pad, "s_per_prove_verify": round(dt / B, 4)})
 
-    import jax
     print(json.dumps({
         "metric": "ipa_prove_verify_scaling",
         "batch": B,

@@ -33,7 +33,8 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -49,17 +50,23 @@ def main() -> None:
         b = jnp.broadcast_to(table_c, (*digits.shape[:-2], *table_c.shape))
         return ristretto.compress(msm.msm_prescaled(b, digits))
 
+    def run_synced(digits):
+        # np.asarray forces a device->host sync; on the tunneled axon
+        # backend block_until_ready can return before execution finishes
+        return np.asarray(run(digits))
+
     rng = np.random.default_rng(11)
     digits = jnp.asarray(rng.integers(
         0, 1 << limb.LIMB_BITS,
         size=(args.batch, n_total, limb.NLIMBS)).astype(np.int32))
-    digits = digits.at[..., limb.NLIMBS - 1].set(0)  # canonical scalars < 2^253
+    # top limb is slack: msm_prescaled truncates digits to WINDOWS=20 limbs,
+    # so zeroing it just documents the canonical-scalar digit layout
+    digits = digits.at[..., limb.NLIMBS - 1].set(0)
 
-    run(digits).block_until_ready()  # compile
+    run_synced(digits)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = run(digits)
-    out.block_until_ready()
+        out = run_synced(digits)
     dt = (time.perf_counter() - t0) / args.iters
 
     point_ops = args.batch * n_total  # logical point-scalar products per pass

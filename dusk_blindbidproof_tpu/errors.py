@@ -16,12 +16,13 @@ class BlindBidError(Exception):
     """Base of the unified error domain (error.rs:18-25)."""
 
 
-class IoError(BlindBidError):
+class IoError(BlindBidError, OSError):
     """Transport / socket failures (error.rs Io variant)."""
 
 
-class TlvError(BlindBidError):
-    """Wire-codec framing failures (error.rs Tlv variant)."""
+class TlvError(BlindBidError, ValueError):
+    """Wire-codec framing failures (error.rs Tlv variant).  Also a
+    ``ValueError`` so pre-existing codec call sites keep catching it."""
 
 
 class R1CSError(BlindBidError):
@@ -29,9 +30,9 @@ class R1CSError(BlindBidError):
     (error.rs R1CS variant; bulletproofs R1CSError)."""
 
 
-class UnexpectedEof(BlindBidError):
+class UnexpectedEof(BlindBidError, EOFError):
     """Short reads mid-frame (error.rs UnexpectedEof variant,
-    error.rs:28-37 helper)."""
+    error.rs:28-37 helper).  Also an ``EOFError`` for legacy catches."""
 
 
 class OtherError(BlindBidError):
@@ -41,12 +42,16 @@ class OtherError(BlindBidError):
 def wrap_exception(exc: Exception) -> BlindBidError:
     """``From`` impl analog (error.rs:61-63): map foreign exceptions into the
     unified domain."""
+    from .models.transcript_protocol import ProofError
+
     if isinstance(exc, BlindBidError):
         return exc
-    if isinstance(exc, (ConnectionError, OSError)):
-        return IoError(str(exc))
+    if isinstance(exc, ProofError):
+        return R1CSError(str(exc))
     if isinstance(exc, EOFError):
         return UnexpectedEof(str(exc))
+    if isinstance(exc, (ConnectionError, OSError)):
+        return IoError(str(exc))
     if isinstance(exc, ValueError):
         return OtherError(str(exc))
     return OtherError(f"{type(exc).__name__}: {exc}")

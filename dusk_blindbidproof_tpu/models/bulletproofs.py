@@ -319,14 +319,22 @@ def phase_lr(l1, l2, l3, r0, r1, r3, x):
     return l, r
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def ipa_round(cap: int, a, b, c_G, c_H, w_limb, h):
+def _ipa_lr(cap: int, a, b, c_G, c_H, w_limb, h):
     """One IPA round's L/R commitments (h = half length, dynamic).
 
-    a, b, c_G, c_H: [B, cap, NL] (active prefix of a/b has length 2h).
-    Returns compressed L, R: [B, 2, NL] plus (c_L, c_R) inner products.
+    Select-table MSM: original generator k contributes to L through EITHER
+    G_k (hi position: digit a_lo*c_G) or H_k (lo position: digit b_hi*c_H),
+    never both — so L/R are MSMs over cap+1 table rows (points selected
+    per-k from the G/H window tables, batch-independent) instead of 2cap+2
+    rows half-filled with zero digits.  Halves the dominant prover MSM work.
     """
     B = a.shape[0]
+    table, layout = msm.pedersen_tables(cap)
+    tab = jnp.asarray(table)
+    tab_G = tab[: cap]  # [cap, W, 4, NL]
+    tab_H = tab[cap : 2 * cap]
+    tab_B = tab[2 * cap : 2 * cap + 1]  # [1, W, 4, NL]
+
     idx = jnp.arange(cap, dtype=jnp.int32)
     nprime = 2 * h
     pos = jnp.remainder(idx, nprime)  # original k -> current position
@@ -342,12 +350,16 @@ def ipa_round(cap: int, a, b, c_G, c_H, w_limb, h):
     a_hi_at = jnp.take(a, jnp.clip(pos + h, 0, cap - 1), axis=1)
     b_lo_at = jnp.take(b, jnp.clip(pos - h, 0, cap - 1), axis=1)
 
-    # L = <a_lo, G'_hi> + <b_hi, H'_lo> + w <a_lo, b_hi> B
-    gL = jnp.where((~in_lo)[None, :, None], limb.mul(FL, a_lo_at, c_G), 0)
-    hL = jnp.where(in_lo[None, :, None], limb.mul(FL, b_hi_at, c_H), 0)
-    # R = <a_hi, G'_lo> + <b_lo, H'_hi> + w <a_hi, b_lo> B
-    gR = jnp.where(in_lo[None, :, None], limb.mul(FL, a_hi_at, c_G), 0)
-    hR = jnp.where((~in_lo)[None, :, None], limb.mul(FL, b_lo_at, c_H), 0)
+    sel = in_lo[None, :, None]
+    dig_L = jnp.where(
+        sel, limb.mul(FL, b_hi_at, c_H), limb.mul(FL, a_lo_at, c_G)
+    )
+    dig_R = jnp.where(
+        sel, limb.mul(FL, a_hi_at, c_G), limb.mul(FL, b_lo_at, c_H)
+    )
+    sel_pt = in_lo[:, None, None, None]
+    pts_L = jnp.where(sel_pt, tab_H, tab_G)  # [cap, W, 4, NL]
+    pts_R = jnp.where(sel_pt, tab_G, tab_H)
 
     # inner products over the active halves
     mask_lo = (jnp.arange(cap) < h)[None, :, None]
@@ -358,16 +370,30 @@ def ipa_round(cap: int, a, b, c_G, c_H, w_limb, h):
 
     wB_L = limb.mul(FL, w_limb, c_L)[:, None, :]
     wB_R = limb.mul(FL, w_limb, c_R)[:, None, :]
-    zero1 = jnp.zeros((B, 1, NLIMBS), dtype=jnp.int32)
 
-    dig_L = jnp.concatenate([gL, hL, wB_L, zero1], axis=1)
-    dig_R = jnp.concatenate([gR, hR, wB_R, zero1], axis=1)
-    digits = limb.canon(FL, jnp.stack([dig_L, dig_R], axis=1))
-    return phase_commit_vectors(cap, digits), c_L, c_R
+    digits = limb.canon(
+        FL,
+        jnp.stack(
+            [
+                jnp.concatenate([dig_L, wB_L], axis=1),
+                jnp.concatenate([dig_R, wB_R], axis=1),
+            ],
+            axis=1,
+        ),
+    )  # [B, 2, cap+1, NL]
+    pts = jnp.stack(
+        [
+            jnp.concatenate([pts_L, tab_B], axis=0),
+            jnp.concatenate([pts_R, tab_B], axis=0),
+        ]
+    )  # [2, cap+1, W, 4, NL]
+    out = msm.msm_prescaled(
+        jnp.broadcast_to(pts, (B, *pts.shape)), digits
+    )
+    return ristretto.compress(out), c_L, c_R
 
 
-@jax.jit
-def ipa_fold(a, b, c_G, c_H, u, u_inv, h):
+def _ipa_fold_state(a, b, c_G, c_H, u, u_inv, h):
     """Fold after challenge u: new a/b of length h (stored in prefix),
     update c_G/c_H coefficient vectors."""
     B, cap, _ = a.shape
@@ -388,6 +414,28 @@ def ipa_fold(a, b, c_G, c_H, u, u_inv, h):
     cg_mult = jnp.where(in_lo[None, :, None], uie, ue)
     ch_mult = jnp.where(in_lo[None, :, None], ue, uie)
     return a2, b2, limb.mul(FL, c_G, cg_mult), limb.mul(FL, c_H, ch_mult)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ipa_round(cap: int, a, b, c_G, c_H, w_limb, h):
+    return _ipa_lr(cap, a, b, c_G, c_H, w_limb, h)
+
+
+@jax.jit
+def ipa_fold(a, b, c_G, c_H, u, u_inv, h):
+    return _ipa_fold_state(a, b, c_G, c_H, u, u_inv, h)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ipa_fold_round(cap: int, a, b, c_G, c_H, w_limb, u, u_inv, h):
+    """Fused: fold at half-length h, then emit the NEXT round's L/R at h//2.
+
+    One jit call per IPA round instead of two — each call to the tunneled
+    TPU costs a ~25 ms round trip, so per-batch this saves ~11 dispatches.
+    """
+    a2, b2, cg2, ch2 = _ipa_fold_state(a, b, c_G, c_H, u, u_inv, h)
+    lr, c_L, c_R = _ipa_lr(cap, a2, b2, cg2, ch2, w_limb, h // 2)
+    return lr, c_L, c_R, a2, b2, cg2, ch2
 
 
 class Prover:
@@ -568,10 +616,12 @@ class Prover:
         L_rounds: list[list[bytes]] = [[] for _ in range(B)]
         R_rounds: list[list[bytes]] = [[] for _ in range(B)]
         h = n_pad // 2
-        while h >= 1:
-            (lr_comp), _, _ = ipa_round(
+        lr_comp = None
+        if h >= 1:
+            lr_comp, _, _ = ipa_round(
                 cap, a_vec, b_vec, c_G, c_H, w_l, jnp.int32(h)
             )
+        while h >= 1:
             lr_host = np.asarray(lr_comp)  # [B, 2, NL]
             u_ints, ui_ints = [], []
             for i, t in enumerate(ts):
@@ -585,9 +635,15 @@ class Prover:
                 ui_ints.append(scalar_invert(uj))
             u_l = jnp.asarray(limb.ints_to_limbs_fast(u_ints))
             ui_l = jnp.asarray(limb.ints_to_limbs_fast(ui_ints))
-            a_vec, b_vec, c_G, c_H = ipa_fold(
-                a_vec, b_vec, c_G, c_H, u_l, ui_l, jnp.int32(h)
-            )
+            if h > 1:
+                # fused: fold at h + next round's L/R in one device call
+                lr_comp, _, _, a_vec, b_vec, c_G, c_H = ipa_fold_round(
+                    cap, a_vec, b_vec, c_G, c_H, w_l, u_l, ui_l, jnp.int32(h)
+                )
+            else:
+                a_vec, b_vec, c_G, c_H = ipa_fold(
+                    a_vec, b_vec, c_G, c_H, u_l, ui_l, jnp.int32(h)
+                )
             h //= 2
 
         ab_host = np.asarray(

@@ -71,10 +71,22 @@ def to_host(pts) -> list[host.EdwardsPoint]:
 
 
 def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Unified extended addition (add-2008-hwcd-3, a=-1, complete)."""
+    """Unified extended addition (add-2008-hwcd-3, a=-1, complete).
+
+    On TPU backends large row batches route through the fused Pallas kernel
+    (ops.fused): the whole formula runs in VMEM, eliminating the ~0.5 GB of
+    HBM round trips the unfused op chain costs per 82k-row add."""
+    from . import fused
+
+    if fused.use_fused(p, q):
+        return fused.edwards_add(p, q)
+    return add_impl(p, q)
+
+
+def add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     x1, y1, z1, t1 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
     x2, y2, z2, t2 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
-    d2 = jnp.asarray(_D2_LIMBS)
+    d2 = limb.kconst(_D2_LIMBS)
     a = limb.mul(FP, limb.sub(FP, y1, x1), limb.sub(FP, y2, x2))
     b = limb.mul(FP, limb.add(FP, y1, x1), limb.add(FP, y2, x2))
     c = limb.mul(FP, limb.mul(FP, t1, d2), t2)
@@ -95,7 +107,15 @@ def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def double(p: jnp.ndarray) -> jnp.ndarray:
-    """dbl-2008-hwcd (a=-1)."""
+    """dbl-2008-hwcd (a=-1); fused Pallas kernel on TPU for large batches."""
+    from . import fused
+
+    if fused.use_fused(p):
+        return fused.edwards_double(p)
+    return double_impl(p)
+
+
+def double_impl(p: jnp.ndarray) -> jnp.ndarray:
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     a = limb.sqr(FP, x1)
     b = limb.sqr(FP, y1)

@@ -196,6 +196,32 @@ class ModContext:
         )
 
 
+# ---------------------------------------------------------------------------
+# Constant routing for Pallas kernels.
+#
+# Limb ops embed small host constant tables (fold rows, redigit vectors,
+# curve constants).  Outside a kernel these become ordinary jnp constants;
+# inside a Pallas kernel captured constants are disallowed, so ops.fused
+# installs a resolver that records each table during a dry trace and serves
+# it from a packed VMEM ref inside the kernel.  All limb/edwards code must
+# materialize host constants through `kconst`, never jnp.asarray directly.
+# ---------------------------------------------------------------------------
+
+_KCONST_RESOLVER = None
+
+
+def kconst(arr) -> jnp.ndarray:
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.int32))
+    if _KCONST_RESOLVER is None:
+        return jnp.asarray(a)
+    return _KCONST_RESOLVER(a)
+
+
+def set_kconst_resolver(fn) -> None:
+    global _KCONST_RESOLVER
+    _KCONST_RESOLVER = fn
+
+
 P = 2**255 - 19
 L = 2**252 + 27742317777372353535851937790883648493
 
@@ -289,17 +315,20 @@ def lb_carry_pass(a: LB) -> LB:
     lob = [min(bj, LIMB_MASK) for bj in a.b]
     top_escape = min(cb[-1], a.v >> (LIMB_BITS * w))
     c_in = jnp.pad(c, [(0, 0)] * (ndim - 1) + [(1, 0)])[..., :-1]
+    # NOTE: widened/edited outputs are built from pads and lane-iota masks,
+    # never lane-axis concatenates — Mosaic (the Pallas TPU compiler) cannot
+    # lower offset-mismatched lane concats, and this code also runs inside
+    # the fused kernels (ops.fused)
     if top_escape > 0:
-        out = lo + c_in
+        out = jnp.pad(lo + c_in, [(0, 0)] * (ndim - 1) + [(0, 1)]) + jnp.pad(
+            c[..., -1:], [(0, 0)] * (ndim - 1) + [(w, 0)]
+        )
         nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w)]
-        out = jnp.concatenate([out, c[..., -1:]], axis=-1)
         nb.append(cb[-1])
     elif cb[-1] > 0:
         # carry out of the top limb is impossible by value: keep it unsplit
-        out = jnp.concatenate(
-            [lo[..., :-1] + c_in[..., :-1], a.x[..., -1:] + c_in[..., -1:]],
-            axis=-1,
-        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.x.shape, a.x.ndim - 1)
+        out = jnp.where(lane < w - 1, lo, a.x) + c_in
         nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w - 1)]
         nb.append(a.b[-1] + (cb[-2] if w > 1 else 0))
     else:
@@ -357,7 +386,7 @@ def lb_fold(ctx: ModContext, a: LB) -> LB:
     # explicit int32 multiply-add (k is tiny) rather than a dot_general: an
     # integer dot may be lowered through the f32 MXU on TPU, which silently
     # truncates products past 24 bits — exactness is non-negotiable here
-    rows = jnp.asarray(ctx.fold_rows[:k])  # [k, NLIMBS]
+    rows = kconst(ctx.fold_rows[:k])  # [k, NLIMBS]
     folded = jnp.sum(hi[..., :, None] * rows, axis=-2, dtype=jnp.int32)
     nv = _implied(a.b[:NLIMBS]) + sum(
         min(int(a.b[NLIMBS + i]), a.v >> (LIMB_BITS * (NLIMBS + i)))
@@ -376,8 +405,9 @@ def lb_fold_top(ctx: ModContext, a: LB) -> LB:
     for j in range(NLIMBS):
         nb[j] += bt * int(ctx.top_row[j])
     assert max(nb) <= INT32_SAFE, f"fold_top overflow for {ctx.name}"
-    base = jnp.concatenate([a.x[..., : NLIMBS - 1], t * 0], axis=-1)
-    out = base + t * jnp.asarray(ctx.top_row)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.x.shape, a.x.ndim - 1)
+    base = jnp.where(lane < NLIMBS - 1, a.x, 0)  # lane-concat-free (Mosaic)
+    out = base + t * kconst(ctx.top_row)
     nv = _implied(a.b[: NLIMBS - 1]) + (
         min(bt, a.v >> (LIMB_BITS * (NLIMBS - 1))) * ctx.top_int
     )
@@ -464,7 +494,7 @@ def lb_sub(ctx: ModContext, a: LB, c: LB) -> LB:
     k = need // ctx.modulus + 1
     digits = _redigit_at_least(k * ctx.modulus, c.b, NLIMBS)
     dneg = LB(
-        jnp.asarray(digits) - c.x,
+        kconst(digits) - c.x,
         tuple(int(d) for d in digits),
         k * ctx.modulus,
     )
@@ -571,7 +601,7 @@ def _cond_sub_modulus(ctx: ModContext, a: LB) -> LB:
     comp = ctx.cond_sub_comp  # [NLIMBS+1] digits, each <= LIMB_MASK
     x22 = _pad_limbs(a.x, 1)
     s = LB(
-        x22 + jnp.asarray(comp),
+        x22 + kconst(comp),
         tuple(
             int(bj) + int(comp[j]) for j, bj in enumerate(list(a.b) + [0])
         ),
@@ -612,10 +642,10 @@ def canon(ctx: ModContext, x: jnp.ndarray, bound: int = INT32_SAFE) -> jnp.ndarr
     lo_b = (LIMB_MASK,) * sb_limb + ((1 << sb_off) - 1,) + (0,) * (
         NLIMBS - sb_limb - 1
     )
-    row = jnp.asarray(ctx.canon_row)
+    row = kconst(ctx.canon_row)
     if ctx.canon_neg:
         adj = ctx.canon_adjust.astype(np.int64)
-        term = jnp.asarray(ctx.canon_adjust) - hi[..., None] * row
+        term = kconst(ctx.canon_adjust) - hi[..., None] * row
         tb = tuple(int(t) for t in adj)  # term in [0, adjust] per digit
         tv = ctx.canon_adjust_int
     else:

@@ -71,7 +71,9 @@ def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray) -> jnp.ndarray:
 # no gather/loop overhead for the small shapes used in tests and host glue)
 _UNROLL_MAX = 32
 # sequential block length of the two-level scans: R scan steps of width m/R
-_BLOCK_R = 128
+# (R=32 measured best on v5e: per-scan-step overhead ~60us dominates at
+# larger R; total work is ~2m adds regardless)
+_BLOCK_R = 32
 
 
 def _pad_items(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -24,7 +24,9 @@ import logging
 import os
 import tempfile
 
+from .errors import BlindBidError, TlvError, wrap_exception
 from .models import blindbid
+from .models.bid import Bid
 from .models.blindbid import ProveRequest, VerifyRequest
 from .models.proof_struct import BlindBidProof, R1CSProof
 from .utils.curve_host import L
@@ -46,14 +48,10 @@ def parse_prove_request(payload: bytes) -> ProveRequest:
         raw = r.read_scalar_bytes()
         v = int.from_bytes(raw, "little")
         if v >= L:
-            raise ValueError(f"non-canonical scalar {name}")
+            raise TlvError(f"non-canonical scalar {name}")
         scalars.append(v)
-    pub_list = []
-    for item in r.read_list():
-        if len(item) != 32:
-            # replicate bid.rs:24's strictness (any non-32B entry is fatal)
-            raise ValueError("bid entries must be 32 bytes")
-        pub_list.append(int.from_bytes(item, "little") & ((1 << 255) - 1))
+    # Scalar::from_bits decoding incl. quirk bid.rs:24 lives in models.bid
+    pub_list = [b.x for b in Bid.try_list_from_reader(r)]
     toggle = r.read_u64()
     return ProveRequest(*scalars, pub_list=pub_list, toggle=toggle)
 
@@ -89,13 +87,9 @@ def parse_verify_request(payload: bytes) -> VerifyRequest:
         raw = r.read_scalar_bytes()
         v = int.from_bytes(raw, "little")
         if v >= L:
-            raise ValueError(f"non-canonical scalar {name}")
+            raise TlvError(f"non-canonical scalar {name}")
         vals.append(v)
-    pub_list = []
-    for item in r.read_list():
-        if len(item) != 32:
-            raise ValueError("pub_list entries must be 32 bytes")
-        pub_list.append(int.from_bytes(item, "little") & ((1 << 255) - 1))
+    pub_list = [b.x for b in Bid.try_list_from_reader(r)]
     return VerifyRequest(proof, *vals, pub_list=pub_list)
 
 
@@ -225,7 +219,12 @@ class BlindBidServer:
             else:
                 raise ValueError(f"unknown opcode {opcode}")
         except Exception as exc:
-            log.error("error resolving the request: %s", exc)
+            # unified error domain (errors.py, the reference's error.rs):
+            # any failure maps into BlindBidError and answers the error
+            # frame, keeping the daemon alive (futures/main.rs:15-25)
+            err = wrap_exception(exc)
+            log.error("error resolving the request: [%s] %s",
+                      type(err).__name__, err)
             w = TlvWriter()
             w.write(ERROR_FRAME)
         return w.getvalue()

@@ -15,11 +15,16 @@ documented, self-consistent framing with the same *shape*:
 varint = unsigned LEB128.  The IPC conformance suite (tests/test_server.py)
 replays full request/response byte sessions against this codec; if the real
 dusk-tlv layout is ever pinned down, only this module changes.
+
+Failures raise the unified error domain (errors.TlvError / UnexpectedEof,
+the reference's Error::Tlv / Error::UnexpectedEof, error.rs:18-25).
 """
 
 from __future__ import annotations
 
 import io
+
+from ..errors import TlvError, UnexpectedEof
 
 
 def write_varint(n: int) -> bytes:
@@ -47,11 +52,11 @@ def read_varint(stream: io.BufferedIOBase) -> int | None:
             return value
         shift += 7
         if shift > 63:
-            raise ValueError("varint too long")
+            raise TlvError("varint too long")
 
 
 def _eof():
-    raise EOFError("truncated varint")
+    raise UnexpectedEof("truncated varint")
 
 
 class TlvWriter:
@@ -89,13 +94,13 @@ class TlvReader:
             return None
         payload = self.stream.read(n)
         if len(payload) != n:
-            raise EOFError("truncated frame")
+            raise UnexpectedEof("truncated frame")
         return payload
 
     def expect_frame(self, what: str = "frame") -> bytes:
         f = self.read_frame()
         if f is None:
-            raise EOFError(f"missing {what}")
+            raise UnexpectedEof(f"missing {what}")
         return f
 
     def read_list(self) -> list[bytes]:
@@ -111,11 +116,11 @@ class TlvReader:
     def read_scalar_bytes(self) -> bytes:
         f = self.expect_frame("scalar")
         if len(f) != 32:
-            raise ValueError(f"scalar frame must be 32 bytes, got {len(f)}")
+            raise TlvError(f"scalar frame must be 32 bytes, got {len(f)}")
         return f
 
     def read_u64(self) -> int:
         f = self.expect_frame("u64")
         if len(f) != 8:
-            raise ValueError(f"u64 frame must be 8 bytes, got {len(f)}")
+            raise TlvError(f"u64 frame must be 8 bytes, got {len(f)}")
         return int.from_bytes(f, "little")

@@ -9,7 +9,11 @@ N="${1:-8}"
 
 python -m dusk_blindbidproof_tpu.server --bind-path "$SOCK" --log-level warn &
 SERVER_PID=$!
-for _ in $(seq 1 600); do [ -S "$SOCK" ] && break; sleep 0.5; done
+for _ in $(seq 1 600); do
+  [ -S "$SOCK" ] && break
+  kill -0 "$SERVER_PID" 2>/dev/null || { echo 'server died at boot' >&2; exit 1; }
+  sleep 0.5
+done
 
 python scripts/uds_client.py --bind-path "$SOCK" --bench "$N"
 STATUS=$?
