@@ -69,9 +69,14 @@ def main() -> None:
     # warmup: compiles every phase program at this batch shape
     round_trip(mk_reqs(batch))
 
+    from dusk_blindbidproof_tpu.utils import profiling
+
+    profiling.reset()
     t0 = time.perf_counter()
     round_trip(mk_reqs(batch))
     dt = time.perf_counter() - t0
+    if os.environ.get("BLINDBID_PROFILE") == "1":
+        print(profiling.report(), file=sys.stderr)
 
     s_per_op = dt / batch
     print(

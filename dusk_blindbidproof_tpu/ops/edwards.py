@@ -73,13 +73,13 @@ def to_host(pts) -> list[host.EdwardsPoint]:
 def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Unified extended addition (add-2008-hwcd-3, a=-1, complete).
 
-    On TPU backends large row batches route through the fused Pallas kernel
-    (ops.fused): the whole formula runs in VMEM, eliminating the ~0.5 GB of
-    HBM round trips the unfused op chain costs per 82k-row add."""
+    Large row batches on TPU route through the fused plane-layout Pallas
+    kernel (ops.fused): limbs on sublanes, items on lanes, whole formula in
+    VMEM — measured 35 M adds/s vs 6.6 M for the op chain on v5e."""
     from . import fused
 
-    if fused.use_fused(p, q):
-        return fused.edwards_add(p, q)
+    if fused.use_fused(p.shape, q.shape):
+        return fused.add_rows(p, q)
     return add_impl(p, q)
 
 
@@ -107,11 +107,11 @@ def add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def double(p: jnp.ndarray) -> jnp.ndarray:
-    """dbl-2008-hwcd (a=-1); fused Pallas kernel on TPU for large batches."""
+    """dbl-2008-hwcd (a=-1); fused Pallas kernel for large TPU batches."""
     from . import fused
 
-    if fused.use_fused(p):
-        return fused.edwards_double(p)
+    if fused.use_fused(p.shape):
+        return fused.double_rows(p)
     return double_impl(p)
 
 
@@ -126,6 +126,69 @@ def double_impl(p: jnp.ndarray) -> jnp.ndarray:
     e = limb.sub(FP, h, limb.sqr(FP, xy))
     g = limb.sub(FP, a, b)
     f = limb.add(FP, c, g)
+    return jnp.stack(
+        [
+            limb.mul(FP, e, f),
+            limb.mul(FP, g, h),
+            limb.mul(FP, f, g),
+            limb.mul(FP, e, h),
+        ],
+        axis=-2,
+    )
+
+
+def identity_niels(batch_shape: tuple[int, ...] = ()) -> jnp.ndarray:
+    """Identity in affine-Niels form: (y-x, y+x, 2d*t) = (1, 1, 0)."""
+    pt = np.zeros((*batch_shape, 4, NLIMBS), dtype=np.int32)
+    pt[..., 0, :] = _ONE
+    pt[..., 1, :] = _ONE
+    return jnp.asarray(pt)
+
+
+def to_niels(p: jnp.ndarray) -> jnp.ndarray:
+    """Extended [..., 4, NLIMBS] -> affine-Niels rows (y-x, y+x, 2d*xy, 0).
+
+    Normalizes Z to 1 with a batched Fermat inversion chain (one-time table
+    preparation cost; the payoff is the 7M mixed add in the MSM scans —
+    dalek's AffineNielsPoint precomputation, SURVEY.md §2.2 row 2).
+    """
+    from . import ristretto
+
+    zinv = ristretto.invert(p[..., 2, :])
+    x = limb.mul(FP, p[..., 0, :], zinv)
+    y = limb.mul(FP, p[..., 1, :], zinv)
+    t2d = limb.mul(FP, limb.kconst(_D2_LIMBS), limb.mul(FP, x, y))
+    return jnp.stack(
+        [
+            limb.sub(FP, y, x),
+            limb.add(FP, y, x),
+            t2d,
+            jnp.zeros_like(x),
+        ],
+        axis=-2,
+    )
+
+
+def add_niels(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Mixed unified add: p extended + q affine-Niels -> extended (7M).
+
+    madd-2008-hwcd-3 (dalek's `&EdwardsPoint + &AffineNielsPoint`), complete
+    for a=-1 with d non-square — same unified-safety as add_impl, two muls
+    cheaper because q is pre-normalized (Z2=1) with (y±x, 2d*xy) cached."""
+    from . import fused
+
+    if fused.use_fused(p.shape, q.shape):
+        return fused.add_rows(p, q, niels=True)
+    x1, y1, z1, t1 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+    a2, b2, c2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+    a = limb.mul(FP, limb.sub(FP, y1, x1), a2)
+    b = limb.mul(FP, limb.add(FP, y1, x1), b2)
+    c = limb.mul(FP, t1, c2)
+    dd = limb.add(FP, z1, z1)
+    e = limb.sub(FP, b, a)
+    f = limb.sub(FP, dd, c)
+    g = limb.add(FP, dd, c)
+    h = limb.add(FP, b, a)
     return jnp.stack(
         [
             limb.mul(FP, e, f),

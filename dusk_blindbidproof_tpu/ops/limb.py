@@ -222,6 +222,64 @@ def set_kconst_resolver(fn) -> None:
     _KCONST_RESOLVER = fn
 
 
+# ---------------------------------------------------------------------------
+# Transposed ("T") mode.
+#
+# The natural [..., NLIMBS] layout puts the 21-limb axis on the TPU lane
+# dimension: every (8, 128) vector tile carries 21 useful lanes (16%), and
+# the add/mul op chains are HBM-bound on padded intermediates.  In T-mode
+# every array carries a trailing ITEM axis — [..., w, T] — so limbs sit on
+# sublanes and thousands of independent elements fill the lanes.  The fused
+# Pallas kernels (ops.fused) trace the very same engine code under
+# `t_mode()`; array-structure helpers below dispatch on the flag, the
+# bound-tracking logic is layout-blind.
+# ---------------------------------------------------------------------------
+
+_T_MODE = False
+
+
+class t_mode:
+    def __enter__(self):
+        global _T_MODE
+        self._prev = _T_MODE
+        _T_MODE = True
+
+    def __exit__(self, *exc):
+        global _T_MODE
+        _T_MODE = self._prev
+        return False
+
+
+def _limb_width(x: jnp.ndarray) -> int:
+    return x.shape[-2] if _T_MODE else x.shape[-1]
+
+
+def _pad_limb(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    cfg = [(0, 0)] * x.ndim
+    cfg[x.ndim - 2 if _T_MODE else x.ndim - 1] = (lo, hi)
+    return jnp.pad(x, cfg)
+
+
+def _limb_slice(x: jnp.ndarray, i, j) -> jnp.ndarray:
+    """x[..., i:j] on the limb axis."""
+    if _T_MODE:
+        return x[..., i:j, :]
+    return x[..., i:j]
+
+
+def _limb_iota(shape, ndim_of) -> jnp.ndarray:
+    dim = ndim_of - 2 if _T_MODE else ndim_of - 1
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _krow(row: np.ndarray) -> jnp.ndarray:
+    """Host [w] constant row, broadcastable against working arrays."""
+    r = kconst(row)
+    if _T_MODE and r.ndim == 1:
+        return r[:, None]
+    return r
+
+
 P = 2**255 - 19
 L = 2**252 + 27742317777372353535851937790883648493
 
@@ -249,6 +307,8 @@ class LB(NamedTuple):
     def width(self) -> int:
         return len(self.b)
 
+    # NOTE: b/v metadata is layout-blind; x is [..., w] or [..., w, T]
+
 
 def _implied(b) -> int:
     return sum(int(bj) << (LIMB_BITS * j) for j, bj in enumerate(b))
@@ -257,7 +317,7 @@ def _implied(b) -> int:
 def wrap(x: jnp.ndarray, bound=None, v=None) -> LB:
     """Wrap a raw array.  Default bound 2^13 per limb (covers both strict
     decodes and std-form op outputs)."""
-    w = x.shape[-1]
+    w = _limb_width(x)
     if bound is None:
         b = (1 << LIMB_BITS,) * w
     elif np.isscalar(bound):
@@ -274,7 +334,7 @@ def wrap(x: jnp.ndarray, bound=None, v=None) -> LB:
 
 
 def _pad_limbs(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k)])
+    return _pad_limb(x, 0, k)
 
 
 def _refine(a: LB) -> LB:
@@ -284,7 +344,7 @@ def _refine(a: LB) -> LB:
     x = a.x
     while len(b) > NLIMBS and b[-1] == 0:
         b = b[:-1]
-        x = x[..., :-1]
+        x = _limb_slice(x, 0, len(b))
     return LB(x, b, v)
 
 
@@ -308,26 +368,25 @@ def lb_carry_pass(a: LB) -> LB:
     mass is lost.  Value-invariant.
     """
     w = a.width
-    ndim = a.x.ndim
     c = a.x >> LIMB_BITS
     lo = a.x & LIMB_MASK
     cb = [bj >> LIMB_BITS for bj in a.b]
     lob = [min(bj, LIMB_MASK) for bj in a.b]
     top_escape = min(cb[-1], a.v >> (LIMB_BITS * w))
-    c_in = jnp.pad(c, [(0, 0)] * (ndim - 1) + [(1, 0)])[..., :-1]
-    # NOTE: widened/edited outputs are built from pads and lane-iota masks,
+    c_in = _limb_slice(_pad_limb(c, 1, 0), 0, w)
+    # NOTE: widened/edited outputs are built from pads and limb-iota masks,
     # never lane-axis concatenates — Mosaic (the Pallas TPU compiler) cannot
     # lower offset-mismatched lane concats, and this code also runs inside
     # the fused kernels (ops.fused)
     if top_escape > 0:
-        out = jnp.pad(lo + c_in, [(0, 0)] * (ndim - 1) + [(0, 1)]) + jnp.pad(
-            c[..., -1:], [(0, 0)] * (ndim - 1) + [(w, 0)]
+        out = _pad_limb(lo + c_in, 0, 1) + _pad_limb(
+            _limb_slice(c, w - 1, w), w, 0
         )
         nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w)]
         nb.append(cb[-1])
     elif cb[-1] > 0:
         # carry out of the top limb is impossible by value: keep it unsplit
-        lane = jax.lax.broadcasted_iota(jnp.int32, a.x.shape, a.x.ndim - 1)
+        lane = _limb_iota(a.x.shape, a.x.ndim)
         out = jnp.where(lane < w - 1, lo, a.x) + c_in
         nb = [lob[j] + (cb[j - 1] if j else 0) for j in range(w - 1)]
         nb.append(a.b[-1] + (cb[-2] if w > 1 else 0))
@@ -346,14 +405,13 @@ def lb_carry_multi(a: LB) -> LB:
     maxb = max(int(bj) for bj in a.b)
     depth = max(2, -(-maxb.bit_length() // LIMB_BITS))
     w = a.width
-    ndim = a.x.ndim
     out = None
     nb = [0] * (w + depth - 1)
     for d in range(depth):
         p = a.x >> (LIMB_BITS * d)
         if d < depth - 1:
             p = p & LIMB_MASK
-        pad = jnp.pad(p, [(0, 0)] * (ndim - 1) + [(d, depth - 1 - d)])
+        pad = _pad_limb(p, d, depth - 1 - d)
         out = pad if out is None else out + pad
         for j in range(w):
             bd = int(a.b[j]) >> (LIMB_BITS * d)
@@ -381,13 +439,19 @@ def lb_fold(ctx: ModContext, a: LB) -> LB:
     assert 0 < k <= _FOLD_KMAX
     nb = _fold_contrib(ctx, a.b)
     assert max(nb) <= INT32_SAFE, f"fold overflow for {ctx.name}"
-    lo = a.x[..., :NLIMBS]
-    hi = a.x[..., NLIMBS:]
+    lo = _limb_slice(a.x, 0, NLIMBS)
+    hi = _limb_slice(a.x, NLIMBS, a.width)
     # explicit int32 multiply-add (k is tiny) rather than a dot_general: an
     # integer dot may be lowered through the f32 MXU on TPU, which silently
     # truncates products past 24 bits — exactness is non-negotiable here
-    rows = kconst(ctx.fold_rows[:k])  # [k, NLIMBS]
-    folded = jnp.sum(hi[..., :, None] * rows, axis=-2, dtype=jnp.int32)
+    if _T_MODE:
+        folded = None
+        for i in range(k):
+            term = _limb_slice(hi, i, i + 1) * _krow(ctx.fold_rows[i])
+            folded = term if folded is None else folded + term
+    else:
+        rows = kconst(ctx.fold_rows[:k])  # [k, NLIMBS]
+        folded = jnp.sum(hi[..., :, None] * rows, axis=-2, dtype=jnp.int32)
     nv = _implied(a.b[:NLIMBS]) + sum(
         min(int(a.b[NLIMBS + i]), a.v >> (LIMB_BITS * (NLIMBS + i)))
         * ctx.fold_ints[i]
@@ -399,15 +463,15 @@ def lb_fold(ctx: ModContext, a: LB) -> LB:
 def lb_fold_top(ctx: ModContext, a: LB) -> LB:
     """Fold the slack limb (index 20) via 2^260 mod M (value kept mod M)."""
     assert a.width == NLIMBS
-    t = a.x[..., NLIMBS - 1 :]
+    t = _limb_slice(a.x, NLIMBS - 1, NLIMBS)
     bt = int(a.b[NLIMBS - 1])
     nb = list(a.b[: NLIMBS - 1]) + [0]
     for j in range(NLIMBS):
         nb[j] += bt * int(ctx.top_row[j])
     assert max(nb) <= INT32_SAFE, f"fold_top overflow for {ctx.name}"
-    lane = jax.lax.broadcasted_iota(jnp.int32, a.x.shape, a.x.ndim - 1)
+    lane = _limb_iota(a.x.shape, a.x.ndim)
     base = jnp.where(lane < NLIMBS - 1, a.x, 0)  # lane-concat-free (Mosaic)
-    out = base + t * kconst(ctx.top_row)
+    out = base + t * _krow(ctx.top_row)
     nv = _implied(a.b[: NLIMBS - 1]) + (
         min(bt, a.v >> (LIMB_BITS * (NLIMBS - 1))) * ctx.top_int
     )
@@ -472,10 +536,8 @@ def lb_mul(ctx: ModContext, a: LB, c: LB) -> LB:
     assert max(int(t) for t in colb) <= INT32_SAFE
     terms = []
     for i in range(NLIMBS):
-        t = a.x[..., i : i + 1] * c.x  # [..., NLIMBS] broadcast
-        terms.append(
-            jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(i, NLIMBS - 1 - i)])
-        )
+        t = _limb_slice(a.x, i, i + 1) * c.x  # [..., NLIMBS] broadcast
+        terms.append(_pad_limb(t, i, NLIMBS - 1 - i))
     # balanced tree sum keeps the graph log-depth
     while len(terms) > 1:
         terms = [
@@ -494,7 +556,7 @@ def lb_sub(ctx: ModContext, a: LB, c: LB) -> LB:
     k = need // ctx.modulus + 1
     digits = _redigit_at_least(k * ctx.modulus, c.b, NLIMBS)
     dneg = LB(
-        kconst(digits) - c.x,
+        _krow(digits) - c.x,
         tuple(int(d) for d in digits),
         k * ctx.modulus,
     )
@@ -562,6 +624,7 @@ def _exact_carry(a: LB) -> LB:
     over (generate, propagate) pairs with lax.associative_scan; appends a top
     limb only when both the limb bounds and the value bound allow a carry
     out.  ~log2(width) parallel steps, no sequential scan."""
+    assert not _T_MODE, "canon/exact paths are host-boundary only (no T-mode)"
     assert max(a.b) <= EXACT_MAX, a.b
     g = (a.x >> LIMB_BITS).astype(jnp.int32)  # in {0, 1}
     r = a.x & LIMB_MASK

@@ -67,29 +67,32 @@ def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pad, x[..., :-k, :, :]], axis=-3)
 
 
-# below this item count the loop forms unroll instead (tiny static graphs,
-# no gather/loop overhead for the small shapes used in tests and host glue)
-_UNROLL_MAX = 32
+# below this item count a Hillis-Steele ladder unrolls instead: log2(m)
+# sequential steps at m*log2(m) total adds — the right trade for the small
+# recursion levels, where step-launch latency dominates total work
+_UNROLL_MAX = 128
 # sequential block length of the two-level scans: R scan steps of width m/R
-# (R=32 measured best on v5e: per-scan-step overhead ~60us dominates at
-# larger R; total work is ~2m adds regardless)
+# (total work is ~m adds regardless; R trades steps against width)
 _BLOCK_R = 32
+# below this row width the block-offset apply is one full-width broadcast
+# add instead of a second R-step scan (the scan-apply exists only to bound
+# peak temporaries at 82k-row widths; recursion levels are ~m/32 wide)
+_APPLY_WIDE_MAX = 16384
 
 
-def _pad_items(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    pad = jnp.broadcast_to(
-        edwards.identity(), (*x.shape[:-3], k, *x.shape[-2:])
-    )
+def _pad_items(x: jnp.ndarray, k: int, niels: bool = False) -> jnp.ndarray:
+    ident = edwards.identity_niels() if niels else edwards.identity()
+    pad = jnp.broadcast_to(ident, (*x.shape[:-3], k, *x.shape[-2:]))
     return jnp.concatenate([x, pad], axis=-3)
 
 
-def _blocked(x: jnp.ndarray):
+def _blocked(x: jnp.ndarray, niels: bool = False):
     """[..., m, 4, NL] -> (scan-ready [R, ..., C, 4, NL], C) with identity
     padding; block c holds items [c*R, (c+1)*R)."""
     m = x.shape[-3]
     C = -(-m // _BLOCK_R)
     if C * _BLOCK_R != m:
-        x = _pad_items(x, C * _BLOCK_R - m)
+        x = _pad_items(x, C * _BLOCK_R - m, niels=niels)
     view = x.reshape(*x.shape[:-3], C, _BLOCK_R, 4, NLIMBS)
     return jnp.moveaxis(view, -3, 0), C
 
@@ -127,16 +130,26 @@ def _inclusive_scan_points(x: jnp.ndarray) -> jnp.ndarray:
         _inclusive_scan_points(totals), 1, edwards.identity()
     )  # exclusive block prefix [..., C, 4, NL]
 
-    # apply offsets through a second scan rather than one full-width add:
-    # peak temporaries stay at block width (the one-shot form's ~0.5 GB of
-    # gather/product buffers at 82k items crashed the axon TPU worker)
-    def apply(carry, wt):
-        return carry, edwards.add(wt, carry)
+    out = jnp.moveaxis(within, 0, -3)  # [..., C, R, 4, NL]
+    if m <= _APPLY_WIDE_MAX:
+        # one broadcast add applies all block offsets in a single step
+        out = edwards.add(out, offsets[..., :, None, :, :])
+    else:
+        # scan-apply: peak temporaries stay at block width (the one-shot
+        # form's ~0.5 GB of gather/product buffers at 82k items crashed the
+        # axon TPU worker)
+        def apply(carry, wt):
+            return carry, edwards.add(wt, carry)
 
-    _, out = jax.lax.scan(apply, offsets, within)
-    out = jnp.moveaxis(out, 0, -3)  # [..., C, R, 4, NL]
+        _, out_s = jax.lax.scan(apply, offsets, within)
+        out = jnp.moveaxis(out_s, 0, -3)
     out = out.reshape(*out.shape[:-4], C * _BLOCK_R, 4, NLIMBS)
     return out[..., :m, :, :]
+
+
+# the halving-tree unroll bound for reductions: log2(m) small static add
+# graphs; 512 keeps the D-bucket suffix reduction at ~40 sequential steps
+_TREE_UNROLL_MAX = 512
 
 
 def _tree_sum_points(x: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +159,7 @@ def _tree_sum_points(x: jnp.ndarray) -> jnp.ndarray:
     m = x.shape[-3]
     if m == 1:
         return x[..., 0, :, :]
-    if m <= _UNROLL_MAX:
+    if m <= _TREE_UNROLL_MAX:
         while m > 1:
             if m % 2 != 0:
                 last = x[..., m - 1 :, :, :]
@@ -207,13 +220,24 @@ def _bit_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+def bucket_msm(
+    points: jnp.ndarray, digits: jnp.ndarray, niels: bool = False
+) -> jnp.ndarray:
     """sum_j digits[j] * points[j] with digits in [0, D_BUCKETS).
 
-    points: [..., m, 4, NLIMBS], digits: [..., m] int32.
+    points: [..., m, 4, NLIMBS], digits: [..., m] int32.  With niels=True
+    the points are affine-Niels rows (fixed tables pre-normalized to Z=1)
+    and every scan leaf add is the 7M mixed formula instead of 9M.
     Returns [..., 4, NLIMBS].
+
+    The prefix scan is only ever *read* at the D-1 bucket-boundary
+    positions, so instead of materializing a full inclusive scan (within-
+    block scan + an offset-apply pass over all m items, ~2m adds) this
+    computes the within-block scans and block offsets (~m adds total) and
+    gathers `within[pos] + offset[pos // R]` at the boundaries only
+    (D extra adds).  ~45% fewer Edwards adds than the round-4 form.
     """
-    if points.shape[-3] <= BIT_MSM_MAX_ITEMS:
+    if points.shape[-3] <= BIT_MSM_MAX_ITEMS and not niels:
         return _bit_msm(points, digits)
     # sort by digit descending
     neg_d = -digits
@@ -223,19 +247,39 @@ def bucket_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         points, order[..., None, None], axis=-3
     )
 
-    # prefix scan: A[j] = sum_{i <= j} P_sorted[i]
-    scan = _inclusive_scan_points(pts_sorted)
-
     # histogram of digits -> count_ge[k] = #items with digit >= k
     hist = _batched_hist(d_sorted)  # [..., D_BUCKETS]
     suffix_counts = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
     pos = suffix_counts - 1  # last sorted index with digit >= k (desc order)
 
+    # within-block inclusive scans + exclusive block offsets
+    xs, C = _blocked(pts_sorted, niels=niels)  # [R, ..., C, 4, NL]
+    acc0 = edwards.identity(xs.shape[1:-2]) + xs[0] * 0
+    leaf_add = edwards.add_niels if niels else edwards.add
+
+    def step(acc, xt):
+        acc = leaf_add(acc, xt)
+        return acc, acc
+
+    totals, within = jax.lax.scan(step, acc0, xs)
+    offsets = _shift_down(
+        _inclusive_scan_points(totals), 1, edwards.identity()
+    )  # [..., C, 4, NL] exclusive block prefix (extended points)
+
+    # within, flattened back to item order: item p lives at block p // R,
+    # in-block index p % R; within[r][..., c] = sum of items c*R .. c*R+r
+    within_f = jnp.moveaxis(within, 0, -3)  # [..., C, R, 4, NL]
+    within_f = within_f.reshape(*within_f.shape[:-4], C * _BLOCK_R, 4, NLIMBS)
+
     # suf_k = scan[pos_k] for k >= 1, identity when no item has digit >= k
     pos_k = pos[..., 1:]
     valid = pos_k >= 0
     safe_pos = jnp.maximum(pos_k, 0)
-    suf = jnp.take_along_axis(scan, safe_pos[..., None, None], axis=-3)
+    vals = jnp.take_along_axis(within_f, safe_pos[..., None, None], axis=-3)
+    offs = jnp.take_along_axis(
+        offsets, (safe_pos // _BLOCK_R)[..., None, None], axis=-3
+    )
+    suf = edwards.add(vals, offs)
     suf = edwards.select(valid, suf, edwards.identity())
 
     # tree-reduce: total = sum_{k>=1} suf_k
@@ -272,11 +316,14 @@ def prescale_windows_batched(points: jnp.ndarray) -> jnp.ndarray:
     return table.reshape(*batch, points.shape[-3], WINDOWS, 4, NLIMBS)
 
 
-def msm_prescaled(table: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
+def msm_prescaled(
+    table: jnp.ndarray, digits: jnp.ndarray, niels: bool = False
+) -> jnp.ndarray:
     """MSM against a pre-scaled window table.
 
     table: [..., n, WINDOWS, 4, NLIMBS] (fixed bases: built once, device
-    resident); digits: [..., n, WINDOWS] canonical scalar limbs.
+    resident; affine-Niels rows when niels=True); digits: [..., n, WINDOWS]
+    canonical scalar limbs.
     """
     batch = table.shape[:-4]
     n = table.shape[-4]
@@ -284,7 +331,7 @@ def msm_prescaled(table: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
         digits = digits[..., :WINDOWS]
     flat_pts = table.reshape(*batch, n * WINDOWS, 4, NLIMBS)
     flat_digits = digits.reshape(*batch, n * WINDOWS).astype(jnp.int32)
-    return bucket_msm(flat_pts, flat_digits)
+    return bucket_msm(flat_pts, flat_digits, niels=niels)
 
 
 # ---------------------------------------------------------------------------
@@ -322,3 +369,19 @@ def pedersen_tables(gens_capacity: int):
         "B_blinding": 2 * gens_capacity + 1,
     }
     return table, layout
+
+
+@functools.lru_cache(maxsize=4)
+def pedersen_tables_niels(gens_capacity: int):
+    """Affine-Niels form of pedersen_tables (rows y-x, y+x, 2d*xy, 0):
+    pre-normalized so the bucket-MSM scan uses 7M mixed adds.  Same layout."""
+    from jax._src import core as _core
+
+    assert _core.trace_state_clean(), (
+        "pedersen_tables_niels(cap=%d) first called inside a jit trace; "
+        "warm the cache from host code first" % gens_capacity
+    )
+    table, layout = pedersen_tables(gens_capacity)
+    flat = jnp.asarray(table.reshape(-1, 4, NLIMBS))
+    niels = np.asarray(jax.jit(edwards.to_niels)(flat))
+    return niels.reshape(table.shape), layout

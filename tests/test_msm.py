@@ -76,6 +76,47 @@ def test_prescale_windows():
             assert np.asarray(_eq_j(table[i, w], want)).all()
 
 
+def test_bucket_path_forced_vs_host(monkeypatch):
+    """The production sort + blocked-scan + histogram bucket path (taken for
+    m > BIT_MSM_MAX_ITEMS in production, i.e. every prover/verifier MSM) run
+    at small m by lowering the threshold — regression cover for
+    _inclusive_scan_points/_batched_hist/boundary-gather without a 2048-gen
+    compile (VERDICT r4 weak #4)."""
+    monkeypatch.setattr(msm, "BIT_MSM_MAX_ITEMS", 0)
+    m = 50  # > _UNROLL_MAX, not a multiple of the scan block
+    pts_host = [B.scalar_mul(rng.randrange(1, host.L)) for _ in range(m)]
+    digits = [rng.randrange(0, msm.D_BUCKETS) for _ in range(m)]
+    digits[0] = 0
+    digits[1] = msm.D_BUCKETS - 1
+    digits[2] = digits[3] = 77  # duplicate bucket
+    pts = edwards.from_host(pts_host)
+    d = jnp.asarray(np.asarray(digits, dtype=np.int32))
+
+    want = edwards.from_host(
+        host_msm(pts_host, [int(x) for x in digits])
+    )
+    got = jax.jit(lambda p, dd: msm.bucket_msm(p, dd))(pts, d)
+    assert np.asarray(_eq_j(got, want)).all()
+
+    # affine-Niels leaf adds (the fixed-table form every phase program uses)
+    niels = jax.jit(edwards.to_niels)(pts)
+    got_n = jax.jit(lambda p, dd: msm.bucket_msm(p, dd, niels=True))(niels, d)
+    assert np.asarray(_eq_j(got_n, want)).all()
+
+
+def test_niels_roundtrip_add():
+    """add_niels(p, to_niels(q)) == add(p, q) including identity operands."""
+    p = B.scalar_mul(rng.randrange(1, host.L))
+    q = B.scalar_mul(rng.randrange(1, host.L))
+    cases = [(p, q), (p, p), (p, host.EdwardsPoint.identity())]
+    for a, b in cases:
+        got = jax.jit(edwards.add_niels)(
+            edwards.from_host(a), jax.jit(edwards.to_niels)(edwards.from_host(b))
+        )
+        want = edwards.from_host(a + b)
+        assert np.asarray(_eq_j(got, want)).all()
+
+
 def test_msm_prescaled_matches_msm():
     n = 4
     pts_host = [B.scalar_mul(rng.randrange(1, host.L)) for _ in range(n)]
