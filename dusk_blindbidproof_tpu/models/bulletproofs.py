@@ -78,8 +78,25 @@ GENS_CAPACITY_DEFAULT = 2048
 PAD_BATCH_MIN = 4
 
 
-def _canonical_batch(B: int) -> int:
-    return max(PAD_BATCH_MIN, 1 << (B - 1).bit_length())
+def _canonical_batch(B: int, mesh=None) -> int:
+    Bp = max(PAD_BATCH_MIN, 1 << (B - 1).bit_length())
+    if mesh is not None:
+        nb = mesh.shape["bids"]
+        Bp = max(Bp, nb)
+        Bp = -(-Bp // nb) * nb  # divisible by the bids axis
+    return Bp
+
+
+def _shard_bids(mesh, arr):
+    """Place a [B, ...] batch array sharded over the mesh's `bids` axis
+    (DP-analog, SURVEY.md §2.3); identity when mesh is None.  The jitted
+    phase programs then compile SPMD over the mesh via GSPMD."""
+    arr = jnp.asarray(arr)
+    if mesh is None:
+        return arr
+    from ..parallel.mesh import shard_batch_over_bids
+
+    return shard_batch_over_bids(mesh, arr)
 
 
 def _pad_rows(a: np.ndarray, Bp: int) -> np.ndarray:
@@ -493,9 +510,11 @@ class Prover:
     batch), commit values, synthesize with the shared gadget via ProverCS,
     then prove()."""
 
-    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT):
+    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT,
+                 mesh=None):
         self.transcripts = transcripts
         self.cap = cap
+        self.mesh = mesh
         msm.pedersen_tables(cap)  # warm the table caches outside any jit trace
         msm.pedersen_tables_niels(cap)
         for t in transcripts:
@@ -512,12 +531,12 @@ class Prover:
             [blindings[i][j] % L for i in range(B) for j in range(m)], (B, m)
         )
         with span("prove.commit_V"):
-            Bp = _canonical_batch(B)
+            Bp = _canonical_batch(B, self.mesh)
             comp = np.asarray(
                 commit_pedersen_tiny(
                     self.cap,
-                    jnp.asarray(_pad_rows(v_l, Bp)),
-                    jnp.asarray(_pad_rows(g_l, Bp)),
+                    _shard_bids(self.mesh, _pad_rows(v_l, Bp)),
+                    _shard_bids(self.mesh, _pad_rows(g_l, Bp)),
                 )
             )[:B]
         out = []
@@ -538,7 +557,7 @@ class Prover:
         assert n_pad <= cap, "circuit exceeds generator capacity"
         ts = self.transcripts
         B_real = len(ts)
-        B = _canonical_batch(B_real)
+        B = _canonical_batch(B_real, self.mesh)
         if B != B_real:
             ts = list(ts) + [ts[-1].clone() for _ in range(B - B_real)]
             witness = ProverWitness(
@@ -577,15 +596,16 @@ class Prover:
         s_R[:, n1:] = 0
         rng_span.__exit__(None, None, None)
 
-        a_L = jnp.asarray(witness.a_L)
-        a_R = jnp.asarray(witness.a_R)
-        a_O = jnp.asarray(witness.a_O)
-        s_L = jnp.asarray(s_L)
-        s_R = jnp.asarray(s_R)
+        a_L = _shard_bids(self.mesh, witness.a_L)
+        a_R = _shard_bids(self.mesh, witness.a_R)
+        a_O = _shard_bids(self.mesh, witness.a_O)
+        s_L = _shard_bids(self.mesh, s_L)
+        s_R = _shard_bids(self.mesh, s_R)
 
         with span("prove.phase_a"):
             comp_a = np.asarray(
-                phase_a(cap, n1, a_L, a_R, a_O, s_L, s_R, jnp.asarray(i_blind))
+                phase_a(cap, n1, a_L, a_R, a_O, s_L, s_R,
+                        _shard_bids(self.mesh, i_blind))
             )
         ys, zs = [], []
         A_bytes = []
@@ -604,14 +624,14 @@ class Prover:
             zs.append(challenge_scalar(t, b"z"))
             A_bytes.append((ai, ao, s))
 
-        y_l = jnp.asarray(limb.ints_to_limbs_fast(ys))
-        z_l = jnp.asarray(limb.ints_to_limbs_fast(zs))
-        y_inv_l = jnp.asarray(limb.ints_to_limbs_fast(_batch_invert(ys)))
+        y_l = _shard_bids(self.mesh, limb.ints_to_limbs_fast(ys))
+        z_l = _shard_bids(self.mesh, limb.ints_to_limbs_fast(zs))
+        y_inv_l = _shard_bids(self.mesh, limb.ints_to_limbs_fast(_batch_invert(ys)))
         ha_span.__exit__(None, None, None)
 
         with span("prove.phase_t"):
             wL, wR, wO, wV, wc = flatten_constraints(
-                circuit, z_l, jnp.asarray(witness.publics)
+                circuit, z_l, _shard_bids(self.mesh, witness.publics)
             )
             y_pows = _ypows(y_l, n_pad)
             y_inv_pows = _ypows(y_inv_l, n_pad)
@@ -674,7 +694,7 @@ class Prover:
             ebs.append(e_blinding)
         hx_span.__exit__(None, None, None)
 
-        x_l = jnp.asarray(limb.ints_to_limbs_fast(xs))
+        x_l = _shard_bids(self.mesh, limb.ints_to_limbs_fast(xs))
         with span("prove.phase_lr"):
             l_vec, r_vec = phase_lr(l1, l2, l3, r0, r1_, r3, x_l)
 
@@ -891,9 +911,11 @@ class Verifier:
     the whole statement as one fixed-base MSM + one small dynamic MSM
     (mirrors the reference's single vartime mega-MSM, SURVEY.md §3.3)."""
 
-    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT):
+    def __init__(self, transcripts: list[Transcript], cap: int = GENS_CAPACITY_DEFAULT,
+                 mesh=None):
         self.transcripts = transcripts
         self.cap = cap
+        self.mesh = mesh
         msm.pedersen_tables(cap)  # warm the table caches outside any jit trace
         msm.pedersen_tables_niels(cap)
         for t in transcripts:
@@ -914,7 +936,7 @@ class Verifier:
         """publics: [B, n_pub, NLIMBS] canonical public-input limbs."""
         ts = self.transcripts
         B_real = len(ts)
-        B = _canonical_batch(B_real)
+        B = _canonical_batch(B_real, self.mesh)
         if B != B_real:
             ts = list(ts) + [ts[-1].clone() for _ in range(B - B_real)]
             proofs = list(proofs) + [proofs[-1]] * (B - B_real)
@@ -962,7 +984,9 @@ class Verifier:
 
         # ---- assemble device inputs -------------------------------------
         def col(key):
-            return jnp.asarray(limb.ints_to_limbs_fast([p[key] for p in per]))
+            return _shard_bids(
+                self.mesh, limb.ints_to_limbs_fast([p[key] for p in per])
+            )
 
         u_js_flat = [uj for p in per for uj in p["u_js"]]
         u_inv_flat = _batch_invert(u_js_flat)
@@ -1039,7 +1063,7 @@ class Verifier:
             if np.any((odd | ge_p) & ~is_zero_enc):
                 raise ProofError("non-canonical point encoding")
         with span("verify.decompress"):
-            s_limbs = jnp.asarray(limb.limbs_from_bytes_le(all_bytes))
+            s_limbs = _shard_bids(self.mesh, limb.limbs_from_bytes_le(all_bytes))
             dyn_points, valid = _decompress_j(s_limbs)
             valid_np = np.asarray(valid)
         with span("verify.point_checks"):

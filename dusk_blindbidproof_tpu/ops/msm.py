@@ -239,13 +239,50 @@ def bucket_msm(
     """
     if points.shape[-3] <= BIT_MSM_MAX_ITEMS and not niels:
         return _bit_msm(points, digits)
-    # sort by digit descending
-    neg_d = -digits
-    order = jnp.argsort(neg_d, axis=-1)
-    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
-    pts_sorted = jnp.take_along_axis(
-        points, order[..., None, None], axis=-3
+    # Sort by digit descending, carrying the point columns as variadic
+    # payload operands of ONE lax.sort.  An argsort + take_along_axis of
+    # (4, 21) point rows runs at ~5 GB/s on TPU (small-slice gathers
+    # scalarize); the variadic sort moves payload columns through the
+    # sorting network at no measurable extra runtime cost (9.5 ms ->
+    # 10.5 ms at [16, 41k] on v5e, vs ~94 ms for sort + gather).  Std-form
+    # limbs are <= 2^13, so PAIRS of limbs pack into one int32 at base
+    # 2^14 — halving the operand count, which is what the sort's compile
+    # time scales with.
+    batch = points.shape[:-3]
+    m = points.shape[-3]
+    nrows = 3 if niels else 4  # niels row 3 is identically zero
+    flat = points[..., :nrows, :]
+    ncols = nrows * NLIMBS
+    if ncols % 2:
+        flat = jnp.concatenate(
+            [
+                flat.reshape(*batch, m, ncols),
+                jnp.zeros((*batch, m, 1), dtype=jnp.int32),
+            ],
+            axis=-1,
+        )
+        ncols += 1
+    else:
+        flat = flat.reshape(*batch, m, ncols)
+    packed = flat[..., 0::2] + (flat[..., 1::2] << 14)  # [.., m, ncols//2]
+    sorted_ops = jax.lax.sort(
+        [-digits] + [packed[..., i] for i in range(ncols // 2)],
+        dimension=-1,
+        num_keys=1,
     )
+    d_sorted = -sorted_ops[0]
+    packed_sorted = jnp.stack(sorted_ops[1:], axis=-1)
+    lo = packed_sorted & 0x3FFF
+    hi = packed_sorted >> 14
+    unpacked = jnp.stack([lo, hi], axis=-1).reshape(*batch, m, ncols)
+    pts_sorted = unpacked[..., : nrows * NLIMBS].reshape(
+        *batch, m, nrows, NLIMBS
+    )
+    if niels:
+        pts_sorted = jnp.concatenate(
+            [pts_sorted, jnp.zeros((*batch, m, 1, NLIMBS), dtype=jnp.int32)],
+            axis=-2,
+        )
 
     # histogram of digits -> count_ge[k] = #items with digit >= k
     hist = _batched_hist(d_sorted)  # [..., D_BUCKETS]

@@ -64,9 +64,17 @@ def sharded_msm(mesh: Mesh, points_arr: jnp.ndarray, scalars: jnp.ndarray):
         mesh=mesh,
         in_specs=(P("points"), P("points")),
         out_specs=P(),
-        # the all_gather + tree-add leaves the result mathematically
-        # replicated over `points`; the static vma checker cannot infer
-        # replication through the group-law reduction, so disable it
+        # check_vma=False is REQUIRED, not a shortcut: the result is
+        # mathematically replicated over `points` (every device all-gathers
+        # the same partials and tree-adds them), but shard_map's static
+        # varying-axis checker only understands replication produced by
+        # primitives it knows (psum & friends).  Our reduction is the
+        # Edwards GROUP law over limb vectors — an arithmetic psum cannot
+        # add curve points — so the checker sees a `points`-varying value
+        # flowing into out_specs=P() and rejects it; `jax.lax.pvary` can
+        # only add variance, never discharge it.  Correctness is instead
+        # pinned by tests/test_mesh.py (sharded == single-device on the
+        # 8-device CPU mesh) and the driver dryrun's host cross-check.
         check_vma=False,
     )
     return shard(points_arr, scalars)

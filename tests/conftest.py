@@ -23,8 +23,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
-# NOTE: do NOT enable the persistent compilation cache here.  Serializing
-# the big CPU MSM executables segfaults the process inside
-# compilation_cache.put_executable_and_time (XLA CPU export bug, reproduced
-# round 1 and round 2); tests recompile instead.  The TPU bench path keeps
-# its own cache (axon executables serialize fine).
+# Persistent compile cache for the CPU test graphs: XLA-CPU compiles of the
+# big engine graphs are multi-minute; cache hits cut repeat `make inttest`
+# runs ~4x.  (The round-1/2 segfault inside put_executable_and_time no
+# longer reproduces on the current jax — re-tested round 5; if it ever
+# returns, delete these three lines and the cache dir.)
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -21,6 +21,14 @@ from dusk_blindbidproof_tpu.ops import limb
 from dusk_blindbidproof_tpu.utils.curve_host import L
 from dusk_blindbidproof_tpu.utils.merlin import Transcript
 
+import pytest
+
+# Full-engine device graphs: multi-minute XLA-CPU compiles.  The fast
+# suite (`make test`, -m "not slow") gates with host-side golden vectors,
+# property tests, and the interpret-mode Pallas kernels; these run in
+# `make inttest`.
+pytestmark = pytest.mark.slow
+
 CAP = 8
 LABEL = b"tiny-cube-proof"
 

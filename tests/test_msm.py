@@ -9,6 +9,14 @@ import numpy as np
 from dusk_blindbidproof_tpu.ops import edwards, limb, msm
 from dusk_blindbidproof_tpu.utils import curve_host as host
 
+import pytest
+
+# Full-engine device graphs: multi-minute XLA-CPU compiles.  The fast
+# suite (`make test`, -m "not slow") gates with host-side golden vectors,
+# property tests, and the interpret-mode Pallas kernels; these run in
+# `make inttest`.
+pytestmark = pytest.mark.slow
+
 B = host.ED25519_BASEPOINT
 rng = random.Random(99)
 

@@ -140,6 +140,10 @@ def test_schedule_replay_matches_frozen():
     )
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_device_prover_matches_frozen():
     """The device prover must emit byte-identical output to the frozen
     oracle vectors — transcript lockstep is what makes device and host
