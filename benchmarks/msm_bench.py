@@ -38,17 +38,21 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    from dusk_blindbidproof_tpu.ops import limb, msm, ristretto
+    from dusk_blindbidproof_tpu.ops import limb, msm
 
     cap = args.n // 2
-    table, _ = msm.pedersen_tables(cap)  # n_total = 2*cap + 2 points
+    msm.pedersen_tables(cap)
+    table, _ = msm.pedersen_tables_niels(cap)  # n_total = 2*cap + 2 points
     n_total = table.shape[0]
     table_c = jnp.asarray(table)
 
     @jax.jit
     def run(digits):
+        # the production fixed-base path: affine-Niels tables, fused plane
+        # kernels, variadic-sort bucket accumulation (compression happens on
+        # host in production and is excluded here — kernel metric only)
         b = jnp.broadcast_to(table_c, (*digits.shape[:-2], *table_c.shape))
-        return ristretto.compress(msm.msm_prescaled(b, digits))
+        return limb.canon(limb.FP, msm.msm_prescaled(b, digits, niels=True))
 
     def run_synced(digits):
         # np.asarray forces a device->host sync; on the tunneled axon

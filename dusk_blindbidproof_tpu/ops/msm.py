@@ -239,15 +239,16 @@ def bucket_msm(
     """
     if points.shape[-3] <= BIT_MSM_MAX_ITEMS and not niels:
         return _bit_msm(points, digits)
-    # Sort by digit descending, carrying the point columns as variadic
-    # payload operands of ONE lax.sort.  An argsort + take_along_axis of
-    # (4, 21) point rows runs at ~5 GB/s on TPU (small-slice gathers
-    # scalarize); the variadic sort moves payload columns through the
-    # sorting network at no measurable extra runtime cost (9.5 ms ->
-    # 10.5 ms at [16, 41k] on v5e, vs ~94 ms for sort + gather).  Std-form
-    # limbs are <= 2^13, so PAIRS of limbs pack into one int32 at base
-    # 2^14 — halving the operand count, which is what the sort's compile
-    # time scales with.
+    # Sort by digit descending and gather the points in PACKED FLAT-ROW
+    # form.  Two facts drive this shape (measured on v5e at [16, 41k]):
+    #   * a take_along_axis of (4, 21)-shaped point rows runs at ~5 GB/s
+    #     (small-slice gathers scalarize) — ~94 ms;
+    #   * the same gather over flat [.., m, cols] rows runs ~5x faster, and
+    #     packing PAIRS of <= 2^13 std limbs per int32 (base 2^14) halves
+    #     the gathered bytes again — ~10 ms.
+    # (A variadic lax.sort carrying all columns as payload matches that
+    # runtime but its 30+-operand comparator blows XLA compile time from
+    # minutes to hours; the packed gather compiles like any gather.)
     batch = points.shape[:-3]
     m = points.shape[-3]
     nrows = 3 if niels else 4  # niels row 3 is identically zero
@@ -265,13 +266,9 @@ def bucket_msm(
     else:
         flat = flat.reshape(*batch, m, ncols)
     packed = flat[..., 0::2] + (flat[..., 1::2] << 14)  # [.., m, ncols//2]
-    sorted_ops = jax.lax.sort(
-        [-digits] + [packed[..., i] for i in range(ncols // 2)],
-        dimension=-1,
-        num_keys=1,
-    )
-    d_sorted = -sorted_ops[0]
-    packed_sorted = jnp.stack(sorted_ops[1:], axis=-1)
+    order = jnp.argsort(-digits, axis=-1)
+    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+    packed_sorted = jnp.take_along_axis(packed, order[..., None], axis=-2)
     lo = packed_sorted & 0x3FFF
     hi = packed_sorted >> 14
     unpacked = jnp.stack([lo, hi], axis=-1).reshape(*batch, m, ncols)
