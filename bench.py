@@ -25,7 +25,9 @@ LIST_LEN = 4
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # default batch 16: best measured amortized s/op on v5e (BENCHMARKS.md
+    # sweep; batch 32 phase graphs crash the remote TPU compiler)
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -256,7 +256,7 @@ def phase_commit_vectors(cap: int, digits: jnp.ndarray) -> jnp.ndarray:
     table, _ = msm.pedersen_tables_niels(cap)
     out = msm.msm_prescaled(
         jnp.broadcast_to(table, (*digits.shape[:-2], *table.shape)),
-        digits,
+        limb.canon(FL, digits),
         niels=True,
     )
     return limb.canon(FP, out)
@@ -339,7 +339,7 @@ def phase_a(cap: int, n1: int, a_L, a_R, a_O, s_L, s_R, blinds):
         ],
         axis=1,
     )  # [B, 3, 2cap+2, NL]
-    return phase_commit_vectors(cap, limb.canon(FL, digits))
+    return phase_commit_vectors(cap, digits)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

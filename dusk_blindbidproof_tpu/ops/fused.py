@@ -281,6 +281,83 @@ def planes_to_points(planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(planes, -1, -3)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-field modmul kernel: the same plane trick for [..., NLIMBS] limb
+# vectors (phase_t inner products, IPA fold/digit muls — several million FL
+# muls per proof batch at ~50 M/s through the XLA op chain).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _build_scalar_mul(ctx_name: str, tile: int, interpret: bool):
+    ctx = {"fp": limb.FP, "fl": limb.FL}[ctx_name]
+
+    pack = _ConstPackT()
+    recorded: dict[bytes, np.ndarray] = {}
+
+    def record(a: np.ndarray) -> jnp.ndarray:
+        recorded[pack._key(a)] = a
+        return pack.record(a)
+
+    ex = jax.ShapeDtypeStruct((NLIMBS, tile), jnp.int32)
+    limb.set_kconst_resolver(record)
+    try:
+        with limb.t_mode():
+            jax.eval_shape(lambda a, b: limb.mul(ctx, a, b), ex, ex)
+    finally:
+        limb.set_kconst_resolver(None)
+    cmat = pack.pack(recorded)
+
+    def kernel(aref, bref, cref, oref):
+        limb.set_kconst_resolver(pack.resolver(cref))
+        try:
+            with limb.t_mode():
+                oref[0] = limb.mul(ctx, aref[0], bref[0])
+        finally:
+            limb.set_kconst_resolver(None)
+
+    def run(a, b):
+        """a, b: [B, NLIMBS, T] with T a multiple of tile."""
+        B, _, T = a.shape
+        spec = pl.BlockSpec(
+            (1, NLIMBS, tile), lambda g, i: (g, 0, i), memory_space=pltpu.VMEM
+        )
+        const_spec = pl.BlockSpec(
+            cmat.shape, lambda g, i: (0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B, T // tile),
+            in_specs=[spec, spec, const_spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, NLIMBS, T), jnp.int32),
+            interpret=interpret,
+        )(a, b, jnp.asarray(cmat))
+
+    return run
+
+
+def mul_rows(ctx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Fused modmul on [..., NLIMBS] limb vectors (bit-exact vs limb.mul)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    T = int(np.prod(shape[:-1], dtype=np.int64))
+    tile = min(_TILE, max(128, T))
+    Tp = -(-T // tile) * tile
+
+    def planes(x):
+        x = jnp.broadcast_to(x, shape).reshape(T, NLIMBS)
+        x = jnp.moveaxis(x, -1, 0)  # [NLIMBS, T]
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T)))
+        return x[None]
+
+    run = _build_scalar_mul(ctx.name, tile, _interpret())
+    out = run(planes(a), planes(b))[0]
+    if Tp != T:
+        out = out[:, :T]
+    return jnp.moveaxis(out, 0, -1).reshape(shape)
+
+
 # row threshold below which kernel launch + relayout overhead loses to the
 # plain op chain (a 524k-row fused add costs ~15 ms, the op chain ~79 ms;
 # at a few hundred rows both are launch-bound and the op chain is simpler)

@@ -589,6 +589,21 @@ def neg(ctx: ModContext, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # big row batches route through the fused plane-layout Pallas kernel
+    # (ops.fused.mul_rows, bit-exact: it traces THIS function in t_mode);
+    # never from inside a kernel trace (_T_MODE) — no nested pallas_call
+    if not _T_MODE:
+        from . import fused
+
+        if (
+            fused.enabled()
+            and a.shape[-1] == NLIMBS
+            and b.shape[-1] == NLIMBS
+        ):
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            rows = int(np.prod(shape[:-1], dtype=np.int64))
+            if rows >= fused.MIN_ROWS:
+                return fused.mul_rows(ctx, a, b)
     return lb_mul(ctx, wrap(a), wrap(b)).x
 
 
@@ -724,6 +739,25 @@ def canon(ctx: ModContext, x: jnp.ndarray, bound: int = INT32_SAFE) -> jnp.ndarr
         y = _cond_sub_modulus(ctx, y)
     assert y.v < ctx.modulus, "canon cond-sub did not converge"
     return y.x
+
+
+def digits_lazy(ctx: ModContext, x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    """Lazy bucket digits: [..., w] working-form input -> ([..., NLIMBS]
+    digits, static max-digit bound).
+
+    The bucket MSM only needs Σ digit_w·2^{13w} ≡ value (mod ctx.modulus)
+    with every digit below the histogram size — NOT the canonical
+    representative (table points lie in the prime-order subgroup, so any
+    congruent integer scales them identically).  Std working form already
+    IS that: limbs <= 2^13 with the slack limb <= 1.  So this is just
+    reduce_std — a trace-time no-op for values that are already std (every
+    limb-op output) — where the old path ran the full `canon` (exact
+    carry-lookahead + conditional subtractions, ~10 device passes).  The
+    MSM tables carry all NLIMBS windows so the slack limb is covered.
+    """
+    a = _refine(reduce_std(ctx, wrap(jnp.asarray(x))))
+    bound = max(int(b) for b in a.b)
+    return a.x, bound
 
 
 def eq_mod(ctx: ModContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

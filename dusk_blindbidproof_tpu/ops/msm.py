@@ -5,24 +5,30 @@ TPU-native replacement for `curve25519-dalek`'s Straus/Pippenger MSM
 MSMs over the Bulletproof generator vectors
 (/root/reference/src/blindbid/proof.rs:88 via the pinned bulletproofs crate).
 
-Design (scatter-free Pippenger, re-derived for XLA):
+Design (scatter-free Pippenger, re-derived for XLA; measured notes in
+docs/DESIGN.md and BENCHMARKS.md):
 
-  * Window size c = 13 = LIMB_BITS, so the canonical limb decomposition of a
-    scalar IS its window-digit decomposition: zero digit-extraction cost.
-  * Fixed bases are pre-scaled per window: table[i, w] = 2^(13 w) * G_i.
-    An MSM then is one flat weighted sum  sum_j digit_j * Q_j  over
-    m = n * 20 items with digits < D = 8192 — no doublings at all.
+  * Window size c = 13 = LIMB_BITS, so the canonical limb decomposition of
+    a scalar IS its window-digit decomposition: zero digit-extraction cost
+    (`limb.digits_lazy` + d_max also supports non-canonical std digits).
+  * Fixed bases are pre-scaled per window: table[i, w] = 2^(13 w) * G_i,
+    with an affine-Niels copy (Z=1) for 7M mixed scan adds.  An MSM then is
+    one flat weighted sum  sum_j digit_j * Q_j  over m = n * NLIMBS items —
+    no doublings at all.
   * Bucket accumulation without scatters:
-      - sort items by digit, descending;
-      - inclusive prefix scan of the sorted points (work-efficient
-        recursive pairing: 2m unified adds in 2 log2 m vector steps);
-      - suffix sums per bucket fall out of the scan: suf_k = scan value at
-        the last position with digit >= k, located via a digit histogram
-        (pure cumsum, no searchsorted);
+      - sort items by digit descending (keys only), then gather the point
+        limbs as packed flat rows (pairs of limbs per int32 — the (4, 21)
+        row gather scalarizes at ~5 GB/s on TPU, the packed flat gather
+        runs ~10x faster);
+      - within-block inclusive scans of the sorted points (on TPU: fused
+        plane-layout Pallas adds, one relayout in/out) + exclusive block
+        offsets from recursing on the block totals;
+      - suffix sums per bucket = within[pos_k] + offset[pos_k // R] at the
+        last position with digit >= k, located via a digit histogram (pure
+        cumsum, no searchsorted) — the scan is only read at the D-1
+        boundaries, so no offset-apply pass over all m items runs;
       - sum_b b * B_b = sum_{k>=1} suf_k: one log-tree reduction over D.
-    Total ~ 2m + D unified Edwards adds, all as full-width vector steps —
-    within ~2x of the sequential Pippenger add count, with none of its
-    data-dependent control flow.
+    Total ~ m + 2D unified Edwards adds, all as wide vector steps.
 
 Batched: a leading batch axis runs independent MSMs (independent proofs) in
 lockstep — the throughput axis of SURVEY.md §2.3.
@@ -40,7 +46,10 @@ from . import edwards, limb
 from .limb import FL, LIMB_BITS, NLIMBS
 
 # One window per scalar limb that can be nonzero: canonical scalars are
-# < L < 2^253, so limb 20 (weight 2^260) is always zero — 20 windows suffice.
+# < L < 2^253, so limb 20 (weight 2^260) is always zero — 20 windows
+# suffice.  (A 21-window lazy-digit variant that skips the canonical
+# reduction measured net-slower at batch 16 — the +5% window items cost
+# more than the saved ~10 canon passes; see BENCHMARKS.md.)
 WINDOWS = NLIMBS - 1
 D_BUCKETS = 1 << LIMB_BITS
 
@@ -221,23 +230,30 @@ def _bit_msm(points: jnp.ndarray, digits: jnp.ndarray) -> jnp.ndarray:
 
 
 def bucket_msm(
-    points: jnp.ndarray, digits: jnp.ndarray, niels: bool = False
+    points: jnp.ndarray,
+    digits: jnp.ndarray,
+    niels: bool = False,
+    d_max: int = D_BUCKETS,
 ) -> jnp.ndarray:
-    """sum_j digits[j] * points[j] with digits in [0, D_BUCKETS).
+    """sum_j digits[j] * points[j] with digits in [0, d_max).
 
     points: [..., m, 4, NLIMBS], digits: [..., m] int32.  With niels=True
     the points are affine-Niels rows (fixed tables pre-normalized to Z=1)
-    and every scan leaf add is the 7M mixed formula instead of 9M.
-    Returns [..., 4, NLIMBS].
+    and every scan leaf add is the 7M mixed formula instead of 9M.  d_max
+    sizes the histogram: `limb.digits20` emits lazy (non-canonical) digits
+    a few units above 2^13, trading a slightly larger bucket range for
+    skipping the full canonical reduction.  Returns [..., 4, NLIMBS].
 
-    The prefix scan is only ever *read* at the D-1 bucket-boundary
+    The prefix scan is only ever *read* at the d_max-1 bucket-boundary
     positions, so instead of materializing a full inclusive scan (within-
     block scan + an offset-apply pass over all m items, ~2m adds) this
     computes the within-block scans and block offsets (~m adds total) and
     gathers `within[pos] + offset[pos // R]` at the boundaries only
-    (D extra adds).  ~45% fewer Edwards adds than the round-4 form.
+    (d_max extra adds).  On TPU the whole within-scan runs in the fused
+    plane layout (one relayout in, one out — no per-step transposes).
     """
     if points.shape[-3] <= BIT_MSM_MAX_ITEMS and not niels:
+        assert d_max <= D_BUCKETS, "bit path needs canonical 13-bit digits"
         return _bit_msm(points, digits)
     # Sort by digit descending and gather the points in PACKED FLAT-ROW
     # form.  Two facts drive this shape (measured on v5e at [16, 41k]):
@@ -282,11 +298,44 @@ def bucket_msm(
         )
 
     # histogram of digits -> count_ge[k] = #items with digit >= k
-    hist = _batched_hist(d_sorted)  # [..., D_BUCKETS]
+    hist = _batched_hist(d_sorted, d_max)  # [..., d_max]
     suffix_counts = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
     pos = suffix_counts - 1  # last sorted index with digit >= k (desc order)
 
-    # within-block inclusive scans + exclusive block offsets
+    from . import fused
+
+    # plane-native scan (one relayout in/out instead of three per step):
+    # measured neutral-to-slower vs the row scan at bench shapes (the row
+    # scan's per-step relayouts overlap well); kept behind a flag for
+    # further tuning.
+    import os as _os
+
+    if fused.enabled() and _os.environ.get("BLINDBID_PLANE_SCAN") == "1":
+        within_f, offsets, R = _bucket_scan_planes(pts_sorted, niels)
+    else:
+        within_f, offsets, R = _bucket_scan_rows(pts_sorted, niels)
+
+    # suf_k = scan[pos_k] for k >= 1, identity when no item has digit >= k
+    pos_k = pos[..., 1:]
+    valid = pos_k >= 0
+    safe_pos = jnp.maximum(pos_k, 0)
+    vals = jnp.take_along_axis(within_f, safe_pos[..., None, None], axis=-3)
+    offs = jnp.take_along_axis(
+        offsets, (safe_pos // R)[..., None, None], axis=-3
+    )
+    suf = edwards.add(vals, offs)
+    suf = edwards.select(valid, suf, edwards.identity())
+
+    # tree-reduce: total = sum_{k>=1} suf_k
+    return _tree_sum_points(suf)
+
+
+def _bucket_scan_rows(pts_sorted: jnp.ndarray, niels: bool):
+    """Within-block inclusive scans + exclusive block offsets, row layout.
+
+    Returns (within_f [..., C*R, 4, NL] flattened back to item order:
+    within_f[p] = sum of items (p//R)*R .. p, offsets [..., C, 4, NL], R).
+    """
     xs, C = _blocked(pts_sorted, niels=niels)  # [R, ..., C, 4, NL]
     acc0 = edwards.identity(xs.shape[1:-2]) + xs[0] * 0
     leaf_add = edwards.add_niels if niels else edwards.add
@@ -300,35 +349,68 @@ def bucket_msm(
         _inclusive_scan_points(totals), 1, edwards.identity()
     )  # [..., C, 4, NL] exclusive block prefix (extended points)
 
-    # within, flattened back to item order: item p lives at block p // R,
-    # in-block index p % R; within[r][..., c] = sum of items c*R .. c*R+r
     within_f = jnp.moveaxis(within, 0, -3)  # [..., C, R, 4, NL]
     within_f = within_f.reshape(*within_f.shape[:-4], C * _BLOCK_R, 4, NLIMBS)
+    return within_f, offsets, _BLOCK_R
 
-    # suf_k = scan[pos_k] for k >= 1, identity when no item has digit >= k
-    pos_k = pos[..., 1:]
-    valid = pos_k >= 0
-    safe_pos = jnp.maximum(pos_k, 0)
-    vals = jnp.take_along_axis(within_f, safe_pos[..., None, None], axis=-3)
-    offs = jnp.take_along_axis(
-        offsets, (safe_pos // _BLOCK_R)[..., None, None], axis=-3
+
+def _bucket_scan_planes(pts_sorted: jnp.ndarray, niels: bool):
+    """Plane-layout within-block scan: the whole R-step accumulation runs on
+    [.., 4, NLIMBS, C] planes through the fused kernels — one relayout into
+    plane form and one back, instead of three relayouts per scan step.
+
+    C is chosen as a multiple of the kernel lane tile (so no per-step pad
+    copies) near m/R; the tail pads with identity items.
+    """
+    from . import fused
+
+    batch = pts_sorted.shape[:-3]
+    m = pts_sorted.shape[-3]
+    Cp = 2048 if m > 60000 else (1024 if m > 20000 else 512)
+    R = -(-m // Cp)
+    m_pad = R * Cp
+    if m_pad != m:
+        pts_sorted = _pad_items(pts_sorted, m_pad - m, niels=niels)
+
+    planes = jnp.moveaxis(pts_sorted, -3, -1)  # [.., 4, NL, m_pad]
+    xs_t = jnp.moveaxis(
+        planes.reshape(*batch, 4, NLIMBS, Cp, R), -1, 0
+    )  # [R, .., 4, NL, Cp]; item p = c*R + r
+    ident = np.zeros((*([1] * len(batch)), 4, NLIMBS, Cp), dtype=np.int32)
+    ident[..., 1, 0, :] = 1
+    ident[..., 2, 0, :] = 1
+    acc0 = jnp.broadcast_to(jnp.asarray(ident), (*batch, 4, NLIMBS, Cp))
+    add_op = fused.madd_planes if niels else fused.add_planes
+
+    def step(acc, xt):
+        acc = add_op(acc, xt)
+        return acc, acc
+
+    totals_t, within_t = jax.lax.scan(step, acc0, xs_t)
+
+    # block offsets: recursion over C block totals in row layout (the adds
+    # route through the fused kernels via edwards.add at these widths)
+    totals_rows = jnp.moveaxis(totals_t, -1, -3)  # [.., Cp, 4, NL]
+    offsets = _shift_down(
+        _inclusive_scan_points(totals_rows), 1, edwards.identity()
     )
-    suf = edwards.add(vals, offs)
-    suf = edwards.select(valid, suf, edwards.identity())
 
-    # tree-reduce: total = sum_{k>=1} suf_k
-    return _tree_sum_points(suf)
+    # within, back to item order rows: [R, .., 4, NL, Cp] -> [.., Cp, R, 4, NL]
+    a = jnp.moveaxis(within_t, 0, -1)  # [.., 4, NL, Cp, R]
+    a = jnp.moveaxis(a, (-2, -1), (-4, -3))  # [.., Cp, R, 4, NL]
+    within_f = a.reshape(*batch, Cp * R, 4, NLIMBS)
+    return within_f, offsets, R
 
 
-def _batched_hist(d_sorted: jnp.ndarray) -> jnp.ndarray:
+def _batched_hist(d_sorted: jnp.ndarray, d_max: int = D_BUCKETS) -> jnp.ndarray:
     """Histogram over the last axis for arbitrary leading batch dims."""
     flat = d_sorted.reshape(-1, d_sorted.shape[-1])
 
     def one(row):
-        return jnp.zeros((D_BUCKETS,), dtype=jnp.int32).at[row].add(1)
+        return jnp.zeros((d_max,), dtype=jnp.int32).at[row].add(1)
 
     hist = jax.vmap(one)(flat)
-    return hist.reshape(*d_sorted.shape[:-1], D_BUCKETS)
+    return hist.reshape(*d_sorted.shape[:-1], d_max)
 
 
 def msm(points: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
@@ -351,13 +433,17 @@ def prescale_windows_batched(points: jnp.ndarray) -> jnp.ndarray:
 
 
 def msm_prescaled(
-    table: jnp.ndarray, digits: jnp.ndarray, niels: bool = False
+    table: jnp.ndarray,
+    digits: jnp.ndarray,
+    niels: bool = False,
+    d_max: int = D_BUCKETS,
 ) -> jnp.ndarray:
     """MSM against a pre-scaled window table.
 
     table: [..., n, WINDOWS, 4, NLIMBS] (fixed bases: built once, device
     resident; affine-Niels rows when niels=True); digits: [..., n, WINDOWS]
-    canonical scalar limbs.
+    window digits < d_max (canonical limbs, or `limb.digits20` lazy form
+    with the matching bound).
     """
     batch = table.shape[:-4]
     n = table.shape[-4]
@@ -365,7 +451,7 @@ def msm_prescaled(
         digits = digits[..., :WINDOWS]
     flat_pts = table.reshape(*batch, n * WINDOWS, 4, NLIMBS)
     flat_digits = digits.reshape(*batch, n * WINDOWS).astype(jnp.int32)
-    return bucket_msm(flat_pts, flat_digits, niels=niels)
+    return bucket_msm(flat_pts, flat_digits, niels=niels, d_max=d_max)
 
 
 # ---------------------------------------------------------------------------

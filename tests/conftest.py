@@ -23,12 +23,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
-# Persistent compile cache for the CPU test graphs: XLA-CPU compiles of the
-# big engine graphs are multi-minute; cache hits cut repeat `make inttest`
-# runs ~4x.  (The round-1/2 segfault inside put_executable_and_time no
-# longer reproduces on the current jax — re-tested round 5; if it ever
-# returns, delete these three lines and the cache dir.)
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compile cache for the CPU test graphs — OFF by default:
+# serializing the LARGE prover executables reproducibly segfaults XLA-CPU
+# inside compilation_cache.put_executable_and_time (re-confirmed round 5 on
+# tests/test_bulletproofs.py; small/medium graphs serialize fine, which is
+# why the round-5 probe initially looked safe).  Opt in for cache-hit-only
+# reruns with BLINDBID_CPU_CACHE=1.
+if os.environ.get("BLINDBID_CPU_CACHE", "0") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -45,6 +45,25 @@ def test_double_planes_bit_exact():
     assert (want == got).all()
 
 
+def test_scalar_mul_rows_bit_exact():
+    a = jnp.asarray(
+        rng.integers(0, 8193, size=(M, limb.NLIMBS), dtype=np.int32)
+    )
+    b = jnp.asarray(
+        rng.integers(0, 8193, size=(M, limb.NLIMBS), dtype=np.int32)
+    )
+    for ctx in (limb.FP, limb.FL):
+        want = np.asarray(
+            jax.jit(
+                lambda x, y, c=ctx: limb.lb_mul(c, limb.wrap(x), limb.wrap(y)).x
+            )(a, b)
+        )
+        got = np.asarray(
+            jax.jit(lambda x, y, c=ctx: fused.mul_rows(c, x, y))(a, b)
+        )
+        assert (want == got).all(), ctx.name
+
+
 def test_batched_shapes_and_identity():
     # multi-dim batch + identity rows (the MSM's padding values)
     p = _rand_rows((3, 40))

@@ -111,6 +111,23 @@ def test_bucket_path_forced_vs_host(monkeypatch):
     got_n = jax.jit(lambda p, dd: msm.bucket_msm(p, dd, niels=True))(niels, d)
     assert np.asarray(_eq_j(got_n, want)).all()
 
+    # the TPU plane-layout scan path (fused kernels via the interpreter)
+    from dusk_blindbidproof_tpu.ops import fused
+
+    monkeypatch.setattr(fused, "enabled", lambda: True)
+    got_p = jax.jit(lambda p, dd: msm.bucket_msm(p, dd, niels=True))(niels, d)
+    assert np.asarray(_eq_j(got_p, want)).all()
+
+    # lazy (non-canonical) digit path: digits a few units above 2^13 in 21
+    # windows must produce the same group element
+    lazy = [rng.randrange(0, 8194) for _ in range(m)]
+    want_l = edwards.from_host(host_msm(pts_host, lazy))
+    dl = jnp.asarray(np.asarray(lazy, dtype=np.int32))
+    got_l = jax.jit(
+        lambda p, dd: msm.bucket_msm(p, dd, niels=True, d_max=8194)
+    )(niels, dl)
+    assert np.asarray(_eq_j(got_l, want_l)).all()
+
 
 def test_niels_roundtrip_add():
     """add_niels(p, to_niels(q)) == add(p, q) including identity operands."""
