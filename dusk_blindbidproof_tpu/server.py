@@ -96,7 +96,10 @@ def parse_verify_request(payload: bytes) -> VerifyRequest:
 class BatchingService:
     """Groups concurrent same-shape requests into single device passes."""
 
-    def __init__(self, window_ms: float = 5.0, max_batch: int = 64):
+    # max_batch 16: batches pad to powers of two and the batch-32 phase
+    # graphs crash the TPU compiler helper (BENCHMARKS.md); 16 is also the
+    # best measured amortized s/op, so larger flushes split naturally.
+    def __init__(self, window_ms: float = 5.0, max_batch: int = 16):
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
         self._queues: dict = {}
