@@ -891,19 +891,23 @@ def verify_scalars(circuit: CompiledCircuit, cap: int, z, y, y_inv, x, w, r,
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def verify_msm(cap: int, digits, dyn_points, dyn_scalars):
-    """Fixed-base + dynamic verification MSMs -> [B] bool (Ristretto
-    identity check).  digits from verify_scalars; dyn_points [B, K, 4, NL],
-    dyn_scalars [B, K, NL] (host-assembled V/T/A/L/R scalars)."""
+def verify_msm_fixed(cap: int, digits):
+    """Fixed-base verification MSM over the generator window tables."""
     B = digits.shape[0]
     table, _ = msm.pedersen_tables_niels(cap)
-    fixed = msm.msm_prescaled(
+    return msm.msm_prescaled(
         jnp.broadcast_to(table, (B, *table.shape)),
         digits,
         niels=True,
     )
 
-    dynamic = msm.msm(dyn_points, dyn_scalars)
+
+_verify_msm_dynamic = jax.jit(msm.msm)
+
+
+@jax.jit
+def verify_check(fixed, dynamic):
+    """Combine the two MSM halves and test the Ristretto identity."""
     total = edwards.add(fixed, dynamic)
     # RISTRETTO identity, not Edwards identity: the MSM sums Ristretto
     # *representatives*, so the total can land on any 4-torsion coset
@@ -1105,7 +1109,12 @@ class Verifier:
                 jnp.asarray(limb.ints_to_limbs_fast([pr.e_blinding for pr in proofs])),
                 jnp.asarray(publics),
             )
-            ok = verify_msm(self.cap, fixed_digits, dyn_points, dyn_scalars_l)
+            # three separate jits: the combined verification module
+            # aborts the XLA CPU compiler at n = 2048 even though each
+            # half compiles alone (~3 min each, probed round 5)
+            fixed_pt = verify_msm_fixed(self.cap, fixed_digits)
+            dyn_pt = _verify_msm_dynamic(dyn_points, dyn_scalars_l)
+            ok = verify_check(fixed_pt, dyn_pt)
             result = list(np.asarray(ok))
         return result[:B_real]
 
