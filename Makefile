@@ -15,9 +15,13 @@ test:
 
 # full integration tests: end-to-end circuits and the UDS server round trip
 # (the reference's `make inttest` = serialized release-mode integration hook,
-# Makefile:14-15; real coverage lived in scripts/test-go.sh)
+# Makefile:14-15; real coverage lived in scripts/test-go.sh).  One pytest
+# process PER FILE: the XLA CPU compiler has a cumulative-state segfault
+# after many huge in-process compiles (modules that compile fine in a fresh
+# process crash after the prover modules; probed round 5) — per-file
+# processes bound the compile load.
 inttest:
-	$(PY) -m pytest tests/ -q
+	set -e; for f in tests/test_*.py; do $(PY) -m pytest $$f -q; done
 
 lint:
 	$(PY) -m compileall -q dusk_blindbidproof_tpu tests benchmarks scripts

@@ -906,6 +906,20 @@ _verify_msm_dynamic = jax.jit(msm.msm)
 
 
 @jax.jit
+def _verify_msm_dynamic_ladder(points, scalars):
+    """Dynamic MSM via the 253-step double-and-add ladder + halving tree.
+
+    Bit-identical result to msm.msm but a far smaller XLA module (the scan
+    body holds ONE add+double).  Used on the CPU backend, where compiling
+    the unrolled _bit_msm module AFTER the prover modules segfaults the
+    XLA CPU compiler (cumulative-state crash: the same module compiles
+    fine in a fresh process — probed round 5)."""
+    bits = edwards.scalar_limbs_to_bits(limb.canon(FL, scalars))
+    terms = edwards.scalar_mul_bits(points, bits)
+    return msm._tree_sum_points(terms)
+
+
+@jax.jit
 def verify_check(fixed, dynamic):
     """Combine the two MSM halves and test the Ristretto identity."""
     total = edwards.add(fixed, dynamic)
@@ -1113,7 +1127,10 @@ class Verifier:
             # aborts the XLA CPU compiler at n = 2048 even though each
             # half compiles alone (~3 min each, probed round 5)
             fixed_pt = verify_msm_fixed(self.cap, fixed_digits)
-            dyn_pt = _verify_msm_dynamic(dyn_points, dyn_scalars_l)
+            if jax.default_backend() == "cpu":
+                dyn_pt = _verify_msm_dynamic_ladder(dyn_points, dyn_scalars_l)
+            else:
+                dyn_pt = _verify_msm_dynamic(dyn_points, dyn_scalars_l)
             ok = verify_check(fixed_pt, dyn_pt)
             result = list(np.asarray(ok))
         return result[:B_real]
